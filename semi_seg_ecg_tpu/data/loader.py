@@ -1,0 +1,222 @@
+"""Batched, sharded, prefetching data loader.
+
+Replaces torch ``DataLoader`` + ``DistributedSampler`` / ``RandomSampler`` /
+``SequentialSampler`` (reference src/utils/semi_dataset.py:326-362,
+src/algorithms/base.py:355-357) with a host-side NumPy loader designed around
+a ``jax.sharding.Mesh``:
+
+- **Device-granular sharding.** ``batch_size`` keeps the reference meaning
+  (*per data-parallel replica*), so the loader yields *global* batches of
+  ``batch_size × data_parallel_size`` laid out replica-major — exactly the
+  layout ``NamedSharding(mesh, P('data'))`` splits across devices without a
+  reshuffle. Epoch lengths match torch's DistributedSampler+drop_last math
+  (pad-to-divisible with wraparound, ``rank:total:world`` striding).
+- **set_epoch built in.** Shuffling and every augmentation draw derive from
+  ``(seed, epoch, index)`` Philox streams — the reference's
+  ``sampler.set_epoch`` discipline without mutable sampler state.
+- **Thread prefetch.** A small background pool maps the (NumPy, GIL-releasing
+  scipy) per-sample pipeline and keeps a queue of ready batches so the TPU
+  never waits on the host (replaces torch ``num_workers`` processes).
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+def epoch_indices(
+    num_samples: int,
+    shuffle: bool,
+    seed: int,
+    epoch: int,
+    num_shards: int = 1,
+) -> np.ndarray:
+    """Global index order for one epoch, padded to a multiple of
+    ``num_shards`` by wrapping (torch DistributedSampler parity)."""
+    if shuffle:
+        rng = np.random.default_rng((seed, epoch))
+        indices = rng.permutation(num_samples)
+    else:
+        indices = np.arange(num_samples)
+    total = int(math.ceil(num_samples / num_shards)) * num_shards
+    if total > num_samples:
+        indices = np.concatenate([indices, indices[: total - num_samples]])
+    return indices
+
+
+class DataLoader:
+    """Iterate global batches of ``(batch_size * num_shards)`` samples.
+
+    Per step, shard ``s`` owns rows ``[s*B:(s+1)*B]`` of the global batch;
+    each shard walks its own strided slice of the epoch indices (parity with
+    DistributedSampler's ``indices[rank:total:num_replicas]``).
+
+    ``drop_last`` follows the reference default (True for train) —
+    semi_dataset.py:354-356.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_shards: int = 1,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        shard_offset: int = 0,
+        local_shards: Optional[int] = None,
+        rng_salt: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = max(prefetch, 1)
+        # multi-host: this process materialises shards
+        # [shard_offset, shard_offset + local_shards)
+        self.shard_offset = shard_offset
+        self.local_shards = local_shards if local_shards is not None else num_shards
+        self.rng_salt = rng_salt
+        self.epoch = 0
+        self._pool = None
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    @property
+    def samples_per_shard(self) -> int:
+        return int(math.ceil(len(self.dataset) / self.num_shards))
+
+    def __len__(self) -> int:
+        n = self.samples_per_shard
+        if self.drop_last:
+            return n // self.batch_size
+        return int(math.ceil(n / self.batch_size))
+
+    def step_indices(self) -> np.ndarray:
+        """(steps, local_shards, batch_size) dataset indices for this epoch.
+
+        Without ``drop_last`` the final partial step wraps around to the head
+        of the shard; evaluators use this matrix to scatter per-sample
+        results back into dataset order (duplicates collapse, since eval is
+        deterministic), which both de-duplicates padded rows and restores the
+        sequential order the reference's ``.npy`` exports use.
+        """
+        indices = epoch_indices(
+            len(self.dataset), self.shuffle, self.seed, self.epoch,
+            self.num_shards,
+        )
+        per_shard = [
+            indices[s::self.num_shards]
+            for s in range(self.shard_offset, self.shard_offset + self.local_shards)
+        ]
+        steps = len(self)
+        mat = np.empty((steps, self.local_shards, self.batch_size), dtype=np.int64)
+        for j, shard in enumerate(per_shard):
+            needed = steps * self.batch_size
+            if needed > len(shard):
+                reps = int(math.ceil(needed / len(shard)))
+                shard = np.tile(shard, reps)
+            mat[:, j, :] = shard[:needed].reshape(steps, self.batch_size)
+        return mat
+
+    def _produce(self, step_indices: np.ndarray) -> Dict[str, np.ndarray]:
+        flat = step_indices.reshape(-1)
+        epoch, seed, salt = self.epoch, self.seed, self.rng_salt
+        order = np.arange(len(flat))
+
+        def fetch(k: int) -> Dict[str, np.ndarray]:
+            idx = int(flat[k])
+            rng = np.random.default_rng((seed, epoch, salt, idx))
+            return self.dataset.get(idx, rng=rng)
+
+        if self._pool is not None and len(flat) > 1:
+            samples = list(self._pool.map(fetch, order))
+        else:
+            samples = [fetch(k) for k in order]
+        return _collate(samples)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        mat = self.step_indices()
+        if self._pool is None and self.num_workers > 1:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.prefetch <= 1 or len(mat) <= 1:
+            for step in range(len(mat)):
+                yield self._produce(mat[step])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for step in range(len(mat)):
+                    q.put(self._produce(mat[step]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
+def get_dataloader(
+    dataset,
+    is_distributed: bool = False,
+    dist_eval: bool = False,
+    mode: str = "train",
+    batch_size: int = 1,
+    seed: int = 0,
+    num_shards: int = 1,
+    shard_offset: int = 0,
+    local_shards: Optional[int] = None,
+    rng_salt: int = 0,
+    num_workers: int = 4,
+    drop_last: Optional[bool] = None,
+    **_ignored,
+) -> DataLoader:
+    """Reference-compatible builder (semi_dataset.py:326-362).
+
+    Differences by design: evaluation is *always* sharded over the mesh
+    (each device sees a disjoint slice; padded rows are masked out by the
+    evaluator) instead of the reference's every-rank-evaluates-everything
+    fallback, which produced ×world_size duplicated gather traffic
+    (semi_dataset.py:334 note in SURVEY §2 ⑯).
+    """
+    is_train = mode == "train"
+    if drop_last is None:
+        drop_last = is_train
+    shuffle = is_train  # eval keeps deterministic order for .npy export parity
+    return DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        seed=seed,
+        num_shards=num_shards,
+        drop_last=drop_last,
+        num_workers=num_workers,
+        shard_offset=shard_offset,
+        local_shards=local_shards,
+        rng_salt=rng_salt,
+    )

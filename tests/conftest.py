@@ -1,0 +1,42 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-device sharding paths (SyncBN-equivalent cross-replica batch stats,
+gradient psum, sharded eval) are exercised on CPU via
+``--xla_force_host_platform_device_count=8`` — the JAX-native analogue of
+testing DDP without a GPU cluster (SURVEY §4 plan item (c)).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synth_dataset_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_data")
+    return make_synthetic_dataset(str(root), seed=0)
+
+
+@pytest.fixture(scope="session")
+def synth_dataset_cfg_varied_fs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_data_fs")
+    return make_synthetic_dataset(str(root), seed=1, varied_fs=True, length=1000)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
