@@ -1,0 +1,80 @@
+"""Segmentation losses (pure jnp; torch ``F.cross_entropy`` semantics).
+
+The reference composes every algorithm's objective from three CE variants
+over ``(B, C, T)`` logits:
+
+- hard labels, mean reduction (base.py:44, fixmatch.py:105, ...)
+- soft (probability) targets (mean_teacher.py:115, reco.py:248)
+- per-element reduction ``'none'`` with a confidence mask then mean
+  (fixmatch.py:114-116, reco.py:248-250)
+
+All are implemented from one log-softmax so XLA fuses them into the
+surrounding step. Class axis is ``1`` like torch (layout conversions stay at
+the model boundary).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _log_softmax(logits: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    # fp32 log-softmax regardless of compute dtype: cheap and numerically
+    # equivalent to torch's fp32 autocast escape for losses
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=axis)
+
+
+def cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    reduction: str = "mean",
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``F.cross_entropy(logits (B,C,*), labels int (B,*))`` parity.
+
+    ``mask`` (same shape as ``labels``) multiplies per-element losses before
+    the reduction — the FixMatch confidence filter composed into one op.
+    """
+    logp = _log_softmax(logits, axis=1)
+    labels_exp = jnp.expand_dims(labels, axis=1)
+    picked = jnp.take_along_axis(logp, labels_exp, axis=1)
+    loss = -jnp.squeeze(picked, axis=1)
+    if mask is not None:
+        loss = loss * mask.astype(loss.dtype)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def soft_cross_entropy(
+    logits: jnp.ndarray,
+    target_probs: jnp.ndarray,
+    reduction: str = "mean",
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``F.cross_entropy`` with probability targets: ``-Σ_c q_c log p_c``
+    per element, reduced over the remaining axes (torch ≥1.10 semantics)."""
+    logp = _log_softmax(logits, axis=1)
+    loss = -jnp.sum(target_probs.astype(logp.dtype) * logp, axis=1)
+    if mask is not None:
+        loss = loss * mask.astype(loss.dtype)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return loss
+
+
+def per_sample_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray
+) -> jnp.ndarray:
+    """Mean-over-time CE per sample: shape (B,). Used by the evaluator so
+    sharded eval can reconstruct the reference's sample-weighted loss meter
+    exactly (base.py:204,219)."""
+    loss = cross_entropy(logits, labels, reduction="none")
+    return jnp.mean(loss, axis=tuple(range(1, loss.ndim)))

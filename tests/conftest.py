@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Some images pre-import jax from sitecustomize (TPU plugin registration), so
+# env vars set here are too late for platform selection — force it through
+# the live config instead (backend init is lazy, so this still lands before
+# any client is created).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

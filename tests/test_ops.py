@@ -1,0 +1,200 @@
+"""Ops parity tests: interpolation and losses vs torch goldens, metrics
+semantics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from semi_seg_ecg_tpu.ops.interpolate import linear_interpolate
+from semi_seg_ecg_tpu.ops.losses import (
+    cross_entropy,
+    per_sample_cross_entropy,
+    soft_cross_entropy,
+)
+from semi_seg_ecg_tpu.ops.metrics import (
+    MeanIoU,
+    DiceScore,
+    GeneralizedDiceScore,
+    MetricCollection,
+    build_metric_fn,
+    flatten_metric_dict,
+    is_best_metric,
+    segmentation_stats,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("in_len,out_len", [(79, 2500), (100, 2500), (157, 2500),
+                                            (2500, 625), (5, 17)])
+def test_linear_interpolate_matches_torch(rng, align_corners, in_len, out_len):
+    x = rng.standard_normal((2, 4, in_len)).astype(np.float32)
+    ours = np.asarray(linear_interpolate(jnp.asarray(x), out_len,
+                                         align_corners=align_corners))
+    theirs = F.interpolate(torch.from_numpy(x), size=out_len, mode="linear",
+                           align_corners=align_corners).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_linear_interpolate_identity(rng):
+    x = jnp.asarray(rng.standard_normal((1, 2, 10)).astype(np.float32))
+    assert linear_interpolate(x, 10) is x
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.standard_normal((4, 4, 100)).astype(np.float32)
+    labels = rng.integers(0, 4, size=(4, 100))
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    theirs = float(F.cross_entropy(torch.from_numpy(logits),
+                                   torch.from_numpy(labels)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_cross_entropy_none_and_mask_matches_torch(rng):
+    logits = rng.standard_normal((4, 4, 50)).astype(np.float32)
+    labels = rng.integers(0, 4, size=(4, 50))
+    mask = rng.random((4, 50)) > 0.5
+    ours_none = cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                              reduction="none")
+    theirs_none = F.cross_entropy(torch.from_numpy(logits),
+                                  torch.from_numpy(labels),
+                                  reduction="none").numpy()
+    np.testing.assert_allclose(np.asarray(ours_none), theirs_none, rtol=1e-5,
+                               atol=1e-6)
+    # FixMatch composition: (loss_none * mask).mean()
+    ours_masked = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                      mask=jnp.asarray(mask)))
+    theirs_masked = float((torch.from_numpy(theirs_none)
+                           * torch.from_numpy(mask)).mean())
+    np.testing.assert_allclose(ours_masked, theirs_masked, rtol=1e-5)
+
+
+def test_soft_cross_entropy_matches_torch(rng):
+    logits = rng.standard_normal((4, 4, 50)).astype(np.float32)
+    target = rng.random((4, 4, 50)).astype(np.float32)
+    target /= target.sum(axis=1, keepdims=True)
+    ours = float(soft_cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    theirs = float(F.cross_entropy(torch.from_numpy(logits),
+                                   torch.from_numpy(target)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_per_sample_cross_entropy_reconstructs_batch_mean(rng):
+    logits = rng.standard_normal((6, 4, 30)).astype(np.float32)
+    labels = rng.integers(0, 4, size=(6, 30))
+    per = np.asarray(per_sample_cross_entropy(jnp.asarray(logits),
+                                              jnp.asarray(labels)))
+    total = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(per.mean(), total, rtol=1e-6)
+
+
+def test_segmentation_stats_counts():
+    preds = jnp.asarray([[0, 0, 1, 2], [3, 3, 3, 3]])
+    labels = jnp.asarray([[0, 1, 1, 2], [3, 3, 0, 0]])
+    inter, psum, tsum = segmentation_stats(preds, labels, 4)
+    np.testing.assert_array_equal(np.asarray(inter),
+                                  [[1, 1, 1, 0], [0, 0, 0, 2]])
+    np.testing.assert_array_equal(np.asarray(psum),
+                                  [[2, 1, 1, 0], [0, 0, 0, 4]])
+    np.testing.assert_array_equal(np.asarray(tsum),
+                                  [[1, 2, 1, 0], [2, 0, 0, 2]])
+
+
+def _stats_np(preds, labels, num_classes):
+    return segmentation_stats(jnp.asarray(preds), jnp.asarray(labels),
+                              num_classes)
+
+
+def test_mean_iou_perfect_prediction():
+    labels = np.random.default_rng(0).integers(0, 4, size=(3, 100))
+    m = MeanIoU(num_classes=4)
+    m.update(*_stats_np(labels, labels, 4))
+    # absent classes in a sample give IoU 0 (torchmetrics safe-divide), so
+    # perfect prediction is 1.0 only when every class occurs in each sample
+    labels_all = np.tile(np.arange(4), (3, 25))
+    m.reset()
+    m.update(*_stats_np(labels_all, labels_all, 4))
+    assert m.compute() == pytest.approx(1.0)
+
+
+def test_mean_iou_known_value():
+    # one sample: 4 classes over 8 points, half correct
+    labels = np.array([[0, 0, 1, 1, 2, 2, 3, 3]])
+    preds = np.array([[0, 1, 1, 2, 2, 3, 3, 0]])
+    # per class: I/U -> 0: 1/3, 1: 1/3, 2: 1/3, 3: 1/3
+    m = MeanIoU(num_classes=4)
+    m.update(*_stats_np(preds, labels, 4))
+    assert m.compute() == pytest.approx(1 / 3)
+
+
+def test_mean_iou_batch_mean_accumulation():
+    # torchmetrics semantics: compute = mean over update() calls
+    labels = np.tile(np.arange(4), (1, 2))  # (1, 8)
+    preds_good = labels.copy()
+    preds_bad = (labels + 1) % 4
+    m = MeanIoU(num_classes=4)
+    m.update(*_stats_np(preds_good, labels, 4))
+    m.update(*_stats_np(preds_bad, labels, 4))
+    assert m.compute() == pytest.approx(0.5)
+
+
+def test_mean_iou_include_background_false():
+    labels = np.array([[0, 0, 0, 1, 1, 1, 2, 3]])
+    preds = np.array([[0, 0, 0, 1, 1, 1, 2, 3]])
+    m = MeanIoU(num_classes=4, include_background=False)
+    m.update(*_stats_np(preds, labels, 4))
+    assert m.compute() == pytest.approx(1.0)
+
+
+def test_per_class_metrics_and_flatten():
+    labels = np.tile(np.arange(4), (2, 2))
+    preds = labels.copy()
+    m = MeanIoU(num_classes=4, per_class=True)
+    m.update(*_stats_np(preds, labels, 4))
+    val = m.compute()
+    assert val.shape == (4,)
+    flat = flatten_metric_dict({"MeanIoU": val})
+    assert set(flat) == {"MeanIoU_0", "MeanIoU_1", "MeanIoU_2", "MeanIoU_3"}
+
+
+def test_dice_score_known_value():
+    labels = np.array([[1, 1, 0, 0]])
+    preds = np.array([[1, 0, 0, 0]])
+    # class0: I=2 P=3 T=2 -> 4/5; class1: I=1 P=1 T=2 -> 2/3; cls 2,3: 0
+    m = DiceScore(num_classes=2)
+    m.update(*_stats_np(preds, labels, 2))
+    assert m.compute() == pytest.approx((4 / 5 + 2 / 3) / 2)
+
+
+def test_generalized_dice_perfect():
+    labels = np.tile(np.arange(4), (2, 4))
+    m = GeneralizedDiceScore(num_classes=4)
+    m.update(*_stats_np(labels, labels, 4))
+    assert m.compute() == pytest.approx(1.0)
+
+
+def test_build_metric_fn_and_best(rng):
+    cfg = {
+        "task": "segmentation",
+        "compute_on_cpu": True,
+        "sync_on_compute": False,
+        "num_classes": 4,
+        "include_background": True,
+        "per_class": False,
+        "input_format": "one-hot",
+        "target_metrics": ["MeanIoU", {"DiceScore": {"per_class": True}}],
+    }
+    fn, best = build_metric_fn(cfg)
+    assert isinstance(fn, MetricCollection)
+    assert set(fn) == {"MeanIoU", "DiceScore"}
+    assert fn["DiceScore"].per_class
+    assert best["MeanIoU"] == -float("inf")
+    assert is_best_metric(fn["MeanIoU"], best["MeanIoU"], 0.1)
+    assert not is_best_metric(fn["MeanIoU"], 0.5, 0.4)
+    with pytest.raises(AssertionError):
+        build_metric_fn({**cfg, "target_metrics": ["NotAMetric"]})
+    with pytest.raises(AssertionError):
+        build_metric_fn({**cfg, "task": "classification"})
