@@ -1,0 +1,297 @@
+"""1-D Vision Transformer backbone (flax.linen, NWC, bf16-compute ready).
+
+Capability parity with the reference ViT-1D
+(src/models/backbones/vision_transformer.py:19-366): patchify + LN/Linear/LN
+embedding (vision_transformer.py:234-239), learned cls + pos embeddings
+(:241-244), pre-norm blocks with optional qk-norm, an fp32-attention escape
+hatch (``fp16_enabled=False`` path :122-127), stochastic depth (DropPath,
+:19-36), LayerScale (:185-189), multi-scale features at ``out_indices``
+with the cls token dropped (:296-306), ``no_weight_decay`` =
+{cls_embedding, pos_embedding} (:308-309), and tiny/small/base factories.
+
+TPU-first choices:
+- attention is a fused einsum chain over static shapes (seq ≈ 101 patches:
+  far below the threshold where a Pallas flash kernel pays off — XLA fuses
+  the softmax into the matmuls already);
+- softmax always runs in fp32 (free on VPU, removes the bf16 overflow case
+  the reference's escape hatch exists for, which stays available as
+  ``fp16_enabled=False`` to also force the QK/AV matmuls to fp32);
+- weights fp32, activations in ``dtype`` (bf16 by default).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (vision_transformer.py:19-36)."""
+
+    rate: float
+    scale_by_keep: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate <= 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        if self.scale_by_keep:
+            mask = mask / keep
+        return x * mask
+
+
+class FeedForward(nn.Module):
+    """LN → Linear → GELU → dropout → Linear → dropout
+    (vision_transformer.py:49-70 with the PreNorm wrapper folded in)."""
+
+    hidden_dim: int
+    output_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.output_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Pre-norm multi-head self-attention (vision_transformer.py:73-136)."""
+
+    output_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    fp16_enabled: bool = True
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        input_dim = x.shape[-1]
+        inner_dim = self.dim_head * self.heads
+        project_out = not (self.heads == 1 and self.dim_head == input_dim)
+
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        qkv = nn.Dense(inner_dim * 3, use_bias=self.qkv_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                             name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                             name="k_norm")(k)
+
+        mm_dtype = self.dtype if self.fp16_enabled else jnp.float32
+        scale = self.dim_head**-0.5
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", q.astype(mm_dtype), k.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        attn = jax.nn.softmax(logits, axis=-1)  # fp32 softmax always
+        attn = nn.Dropout(self.attn_dropout, deterministic=not train)(attn)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn.astype(mm_dtype), v.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        if project_out:
+            out = nn.Dense(self.output_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32)(out)
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    output_dim: int
+    hidden_dim: int
+    heads: int = 8
+    dim_head: int = 32
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    fp16_enabled: bool = True
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    drop_path: float = 0.0
+    layer_scale: Optional[float] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ls_init = self.layer_scale
+
+        def scaled(branch, name):
+            if ls_init is None:
+                return branch
+            gamma = self.param(
+                name, nn.initializers.constant(ls_init), (x.shape[-1],),
+                jnp.float32,
+            )
+            return branch * gamma.astype(branch.dtype)
+
+        attn_out = Attention(
+            output_dim=self.output_dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            fp16_enabled=self.fp16_enabled,
+            dropout=self.dropout,
+            attn_dropout=self.attn_dropout,
+            dtype=self.dtype,
+        )(x, train)
+        x = DropPath(self.drop_path)(scaled(attn_out, "ls_1"), train) + x
+        ff_out = FeedForward(
+            hidden_dim=self.hidden_dim,
+            output_dim=self.output_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+        )(x, train)
+        x = DropPath(self.drop_path)(scaled(ff_out, "ls_2"), train) + x
+        return x
+
+
+class VisionTransformer1D(nn.Module):
+    """Input ``(B, T, leads)`` NWC → tuple of ``(B, num_patches, width)``
+    features at ``out_indices`` (cls token dropped, :301)."""
+
+    seq_len: int
+    patch_size: int
+    num_leads: int
+    width: int = 768
+    depth: int = 12
+    mlp_dim: int = 3072
+    heads: int = 12
+    dim_head: int = 64
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    fp16_enabled: bool = True
+    drop_out_rate: float = 0.0
+    attn_drop_out_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    uniform_dpr: bool = False
+    layer_scale: Optional[float] = None
+    frozen_stages: int = -1
+    out_indices: Sequence[int] = (3, 5, 7, 11)
+    final_norm: bool = False
+    output_cls_token: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_patches(self) -> int:
+        return self.seq_len // self.patch_size
+
+    @property
+    def feature_dim(self) -> int:
+        return self.width
+
+    def no_weight_decay(self) -> set:
+        return {"cls_embedding", "pos_embedding"}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        assert self.seq_len % self.patch_size == 0, \
+            "The sequence length must be divisible by the patch size."
+        b, t, c = x.shape
+        n = t // self.patch_size
+        x = x.astype(self.dtype)
+        # patchify: (B, T, C) -> (B, n, patch*C); trailing channel keeps the
+        # reference's '(p c)' element order (vision_transformer.py:235)
+        x = x.reshape(b, n, self.patch_size * c)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(1.0),
+            (1, self.num_patches + 1, self.width), jnp.float32,
+        )
+        cls = self.param(
+            "cls_embedding", nn.initializers.normal(1.0), (self.width,),
+            jnp.float32,
+        )
+        cls_tok = jnp.broadcast_to(
+            cls.astype(self.dtype)[None, None, :], (b, 1, self.width)
+        )
+        x = jnp.concatenate([cls_tok, x], axis=1)
+        x = x + pos[:, : n + 1].astype(self.dtype)
+        x = nn.Dropout(self.drop_out_rate, deterministic=not train)(x)
+
+        if self.uniform_dpr:
+            dpr = [self.drop_path_rate] * self.depth
+        else:
+            dpr = [
+                float(r)
+                for r in jnp.linspace(0, self.drop_path_rate, self.depth)
+            ]
+        features = []
+        for i in range(self.depth):
+            x = TransformerBlock(
+                output_dim=self.width,
+                hidden_dim=self.mlp_dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                qkv_bias=self.qkv_bias,
+                qk_norm=self.qk_norm,
+                fp16_enabled=self.fp16_enabled,
+                dropout=self.drop_out_rate,
+                attn_dropout=self.attn_drop_out_rate,
+                drop_path=dpr[i],
+                layer_scale=self.layer_scale,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train)
+            if i == self.depth - 1 and self.final_norm:
+                x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                                 name="norm")(x)
+            if i in self.out_indices:
+                patches = x[:, 1:, :]  # NWC feature, cls dropped
+                if self.output_cls_token:
+                    features.append((patches, x[:, 0]))
+                else:
+                    features.append(patches)
+        return tuple(features)
+
+
+def _factory(width, depth, heads, mlp_dim):
+    def make(num_leads, seq_len=2250, patch_size=75, **kwargs):
+        return VisionTransformer1D(
+            seq_len=seq_len,
+            patch_size=patch_size,
+            num_leads=num_leads,
+            width=width,
+            depth=depth,
+            heads=heads,
+            mlp_dim=mlp_dim,
+            **kwargs,
+        )
+
+    return make
+
+
+vit_tiny = _factory(192, 12, 3, 768)
+vit_small = _factory(384, 12, 6, 1536)
+vit_base = _factory(768, 12, 12, 3072)
