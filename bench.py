@@ -1,0 +1,90 @@
+"""Headline benchmark: FixMatch ResNet18-1D training throughput per chip.
+
+Workload matches the reference's north-star recipe shape (FixMatch,
+configs/base/resnet18/fixmatch.yaml: batch 16, signal length 2500, AdamW,
+bf16 compute): each timed step = eval-mode pseudo-label forward on the weak
+unlabeled view + train forward on concat(labeled, strong) + backward +
+optimizer update — all one jitted XLA program.
+
+Baseline: the measured PyTorch-CPU equivalent (tools/bench_torch_baseline.py;
+see BASELINE.md) — the reference repo publishes no numbers (SURVEY §6).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}``
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+# Measured on this machine via tools/bench_torch_baseline.py (torch 2.13 CPU,
+# batch 16, len 2500): 4.74 samples/sec. Override with env if re-measured.
+BASELINE_SAMPLES_PER_SEC = float(
+    os.environ.get("BASELINE_SAMPLES_PER_SEC", "4.74")
+)
+
+
+def main(steps: int = 100, warmup: int = 10) -> None:
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from semi_seg_ecg_tpu.algorithms.common import build_state
+    from semi_seg_ecg_tpu.algorithms.fixmatch import SPEC, make_train_step
+    from semi_seg_ecg_tpu.models import build_model_from_config
+    from semi_seg_ecg_tpu.parallel.mesh import (
+        batch_sharding, data_parallel_size, make_mesh, replicated,
+    )
+    from semi_seg_ecg_tpu.utils.optimizer import build_optimizer
+
+    batch_per_replica = 16
+    sig_len = 2500
+    config = _flagship_config(signal_length=sig_len,
+                              batch_per_replica=batch_per_replica)
+    mesh = make_mesh(config)
+    n_chips = len(jax.devices())
+    dp = data_parallel_size(mesh)
+    global_batch = batch_per_replica * dp
+
+    model = build_model_from_config(config, train=True)
+    tx = build_optimizer(config, None, steps_per_epoch=1000, model=model)
+    state = build_state(config, model, tx, SPEC, seed=0)
+    state = jax.device_put(state, replicated(mesh))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ecg": rng.standard_normal(
+            (global_batch, 1, sig_len)).astype("float32"),
+        "target": rng.integers(0, 4, (global_batch, sig_len)),
+        "ecg_u_w": rng.standard_normal(
+            (global_batch, 1, sig_len)).astype("float32"),
+        "ecg_u_s": rng.standard_normal(
+            (global_batch, 1, sig_len)).astype("float32"),
+    }
+    batch = jax.device_put(batch, batch_sharding(mesh))
+
+    train_step = jax.jit(make_train_step(model, tx, config, 1000),
+                         donate_argnums=0)
+    for _ in range(warmup):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = steps * global_batch / dt
+    per_chip = samples_per_sec / n_chips
+    print(json.dumps({
+        "metric": "fixmatch_resnet18_train_samples_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Inference launcher. (The reference ships this file as `inferernce.sh` —
+# both names work here; see scripts/inferernce.sh.)
+# Usage: bash scripts/inference.sh -f CONFIG [-o OVERRIDE] [--model_path CKPT]
+set -euo pipefail
+
+ARGS=()
+while [[ $# -gt 0 ]]; do
+  case "$1" in
+    --gpus|--master_port) shift 2 ;;
+    *) ARGS+=("$1"); shift ;;
+  esac
+done
+
+SCRIPT_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
+cd "${SCRIPT_DIR}/.."
+exec python inference.py "${ARGS[@]}"

@@ -1,0 +1,628 @@
+"""Shared training machinery for every algorithm.
+
+The reference repeats a ~300-line imperative train loop per algorithm
+(base.py:248-439, fixmatch.py:195-408, ...). Here the loop exists once:
+algorithms differ only in (a) whether they consume unlabeled batches /
+an EMA teacher / a peer model, and (b) the body of one pure
+``train_step(state, batch) → (state, metrics)`` that jit compiles over the
+mesh. Everything an epoch does on device — forward(s), loss composition,
+backward, optimizer update, EMA fold, BN stat sync — is one XLA program per
+step; the host only feeds sharded batches and drains scalar metrics at the
+print cadence (no per-step blocking sync like the reference's
+``torch.cuda.synchronize``, base.py:150).
+
+Evaluation is sharded over the mesh: the jitted eval step emits per-sample
+losses + per-sample per-class counts, the host scatters them back into
+dataset order via the loader's index matrix (de-duplicating padded rows),
+then replays metric updates in the reference's eval batch grouping so
+MeanIoU matches a single-process torchmetrics run exactly (SURVEY §2 ⑯
+fixes the ×world_size duplicated-gather quirk).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..config import experiment_dir
+from ..data.dataset import build_seg_dataset
+from ..data.loader import get_dataloader
+from ..models import build_model_from_config
+from ..ops.losses import per_sample_cross_entropy
+from ..ops.metrics import (
+    build_metric_fn,
+    flatten_metric_dict,
+    is_best_metric,
+    segmentation_stats,
+)
+from ..parallel.dist import init_distributed_mode, is_main_process
+from ..parallel.mesh import (
+    data_parallel_size,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from ..utils import checkpoint as ckpt
+from ..utils.logging import JsonlLogger, MetricLogger, TensorBoardWriter, log
+from ..utils.optimizer import build_optimizer, make_lr_schedule, resolve_lr
+from ..utils.train_state import ModelState, TrainState
+
+PRINT_FREQ = 20
+
+
+# ---------------------------------------------------------------------------
+# Spec: what varies between algorithms
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AlgorithmSpec:
+    """Hooks + flags a training algorithm plugs into the shared driver."""
+
+    name: str
+    # (model, tx, config, steps_per_epoch) -> fn(state, batch) -> (state, metrics)
+    make_train_step: Callable[..., Callable]
+    uses_unlabeled: bool = False
+    uses_ema: bool = False
+    uses_peer: bool = False
+    # extra state initialisation tweaks, e.g. loading a stage teacher (ST++)
+    post_init_state: Optional[Callable] = None
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Model/state assembly
+# ---------------------------------------------------------------------------
+
+
+def model_rngs(seed: int):
+    k = jax.random.key(seed)
+    return {
+        "params": jax.random.fold_in(k, 0),
+        "dropout": jax.random.fold_in(k, 1),
+        "droppath": jax.random.fold_in(k, 2),
+    }
+
+
+def init_model_state(model, config, seed: int) -> ModelState:
+    sig_len = config["dataset"].get("signal_length", 2500)
+    num_leads = 1
+    dummy = jnp.zeros((2, num_leads, sig_len), jnp.float32)
+    # trace the latent path too so projection params exist (ReCo)
+    variables = model.init(
+        model_rngs(seed), dummy, train=False,
+        return_latent=model.with_projection,
+    )
+    batch_stats = variables.get("batch_stats", {})
+    return ModelState(params=variables["params"], batch_stats=batch_stats)
+
+
+def load_pretrained_backbone(config, model_state: ModelState) -> ModelState:
+    """``mode != scratch`` backbone warm-start (base.py:289-303).
+
+    Expects a framework checkpoint whose ``model.params`` contains a
+    ``backbone`` subtree (or is itself a backbone tree)."""
+    path = config["pretrained_backbone"]
+    payload = ckpt.load_checkpoint(path)
+    log(f"Load backbone from {path}")
+    src = payload["model"]["params"]
+    src_stats = payload["model"].get("batch_stats", {})
+    if "backbone" in src:
+        src, src_stats = src["backbone"], src_stats.get("backbone", {})
+    params = dict(model_state.params)
+    params["backbone"] = ckpt._restore_by_path(
+        src, model_state.params["backbone"], "backbone"
+    )
+    stats = dict(model_state.batch_stats)
+    if "backbone" in stats and src_stats:
+        stats["backbone"] = ckpt._restore_by_path(
+            src_stats, stats["backbone"], "backbone_stats"
+        )
+    return ModelState(params=params, batch_stats=stats)
+
+
+def build_state(
+    config, model, tx, spec: AlgorithmSpec, seed: int
+) -> TrainState:
+    student = init_model_state(model, config, seed)
+    if config.get("mode", "scratch") != "scratch":
+        student = load_pretrained_backbone(config, student)
+    ema = None
+    if spec.uses_ema:
+        # teacher starts as a frozen copy of the student
+        # (mean_teacher.py:281-291)
+        ema = ModelState(
+            params=jax.tree.map(jnp.array, student.params),
+            batch_stats=jax.tree.map(jnp.array, student.batch_stats),
+        )
+    peer = None
+    peer_opt = None
+    if spec.uses_peer:
+        # CPS: an independently initialised second network (cps.py:270-276)
+        peer = init_model_state(model, config, seed + 10_000)
+        if config.get("mode", "scratch") != "scratch":
+            peer = load_pretrained_backbone(config, peer)
+        peer_opt = tx.init(peer.params)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        model=student,
+        opt_state=tx.init(student.params),
+        ema=ema,
+        peer=peer,
+        peer_opt_state=peer_opt,
+    )
+
+
+def apply_train(model, params, batch_stats, x, rngs, labels=None,
+                return_loss=False, return_latent=False):
+    """One training-mode forward with mutable BN stats."""
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x, labels=labels, return_loss=return_loss,
+        return_latent=return_latent, train=True,
+        rngs=rngs, mutable=["batch_stats"],
+    )
+    return out, mutated["batch_stats"]
+
+
+def apply_eval(model, model_state: ModelState, x, return_latent=False):
+    """Inference-mode forward (running BN stats, no dropout) — the analogue
+    of the reference's ``model.eval()`` pseudo-label passes."""
+    return model.apply(
+        {"params": model_state.params, "batch_stats": model_state.batch_stats},
+        x, train=False, return_latent=return_latent,
+    )
+
+
+def step_rngs(seed: int, step):
+    k = jax.random.fold_in(jax.random.key(seed), step)
+    return {
+        "dropout": jax.random.fold_in(k, 1),
+        "droppath": jax.random.fold_in(k, 2),
+    }
+
+
+def sgd_update(tx, grads, opt_state, params):
+    import optax
+
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), new_opt_state
+
+
+# ---------------------------------------------------------------------------
+# Data plumbing
+# ---------------------------------------------------------------------------
+
+
+def build_train_loaders(config, mesh, spec: AlgorithmSpec,
+                        unlabeled_subset_ids=None):
+    ds_cfg = config["dataset"]
+    seed = config["seed"]
+    num_shards = data_parallel_size(mesh)
+    batch_size = config["dataloader"]["batch_size"]
+    num_workers = config["dataloader"].get("num_workers", 4) or 4
+
+    loaders: Dict[str, Any] = {}
+    if spec.uses_unlabeled:
+        ds_unlab = build_seg_dataset(ds_cfg, split="train_unlabeled")
+        if unlabeled_subset_ids is not None:
+            from ..data.dataset import Subset
+
+            ds_unlab = Subset(ds_unlab, unlabeled_subset_ids)
+        num_unlabeled = len(ds_unlab)
+        ds_lab = build_seg_dataset(
+            ds_cfg, split="train_labeled", num_unlabeled=num_unlabeled
+        )
+        loaders["unlabeled"] = get_dataloader(
+            ds_unlab, mode="train", batch_size=batch_size, seed=seed,
+            num_shards=num_shards, num_workers=num_workers, rng_salt=1,
+        )
+        log(f"Unlabeled: {num_unlabeled} samples / "
+            f"{len(loaders['unlabeled'])} batches")
+    else:
+        ds_lab = build_seg_dataset(ds_cfg, split="train_labeled")
+    loaders["labeled"] = get_dataloader(
+        ds_lab, mode="train", batch_size=batch_size, seed=seed,
+        num_shards=num_shards, num_workers=num_workers, rng_salt=0,
+    )
+    log(f"Labeled: {len(ds_lab)} samples / {len(loaders['labeled'])} batches")
+    ds_valid = build_seg_dataset(ds_cfg, split="valid")
+    loaders["valid"] = get_dataloader(
+        ds_valid, mode="valid", batch_size=batch_size, seed=seed,
+        num_shards=num_shards, num_workers=num_workers, rng_salt=2,
+    )
+    if spec.uses_unlabeled:
+        assert len(loaders["labeled"]) == len(loaders["unlabeled"]), \
+            "The number of labeled and unlabeled data should be the same"
+    return loaders
+
+
+def combined_batches(loaders, spec: AlgorithmSpec):
+    """Yield merged step dicts: labeled ``ecg``/``target`` + unlabeled
+    weak/strong views (``ecg_u_w``/``ecg_u_s``)."""
+    if not spec.uses_unlabeled:
+        yield from loaders["labeled"]
+        return
+    for labeled, unlabeled in zip(loaders["labeled"], loaders["unlabeled"]):
+        batch = {"ecg": labeled["ecg"], "target": labeled["target"],
+                 "ecg_u_w": unlabeled["ecg"]}
+        if "ecg_aug" in unlabeled:
+            batch["ecg_u_s"] = unlabeled["ecg_aug"]
+        yield batch
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+
+def make_eval_step(model, num_classes: int):
+    def eval_step(model_state: ModelState, batch):
+        out = apply_eval(model, model_state, batch["ecg"])
+        logits = out["seg_logits"].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=1)
+        preds = jnp.argmax(probs, axis=1)
+        labels = batch["target"]
+        inter, psum, tsum = segmentation_stats(preds, labels, num_classes)
+        loss = per_sample_cross_entropy(logits, labels)
+        return {"probs": probs, "loss": loss, "inter": inter, "psum": psum,
+                "tsum": tsum}
+
+    return jax.jit(eval_step)
+
+
+def evaluate(
+    model,
+    model_state: ModelState,
+    loader,
+    metric_fn,
+    mesh,
+    num_classes: int,
+    eval_batch_size: Optional[int] = None,
+    collect_outputs: bool = True,
+    eval_step=None,
+):
+    """Sharded full-dataset evaluation (base.py:184-245 capability parity).
+
+    Returns ``(valid_stats, metric_dict, outputs, labels_onehot)`` where
+    ``outputs`` are softmax probabilities ``(N, C, T)`` in dataset order and
+    ``labels_onehot`` is ``(N, C, T)`` int8 — the arrays the reference dumps
+    as ``test_outputs.npy`` / ``test_labels.npy`` (base.py:484-498)."""
+    if eval_step is None:
+        eval_step = make_eval_step(model, num_classes)
+    n = len(loader.dataset)
+    mat = loader.step_indices()
+    loss_ps = np.zeros(n)
+    inter = np.zeros((n, num_classes), np.int64)
+    psum = np.zeros((n, num_classes), np.int64)
+    tsum = np.zeros((n, num_classes), np.int64)
+    outputs = None
+    labels_np = None
+    logger = MetricLogger()
+    t0 = time.time()
+    for step, batch in enumerate(loader):
+        sharded = shard_batch(mesh, batch)
+        out = jax.device_get(eval_step(
+            ModelState(model_state.params, model_state.batch_stats), sharded
+        ))
+        flat = mat[step].reshape(-1)
+        loss_ps[flat] = out["loss"]
+        inter[flat] = out["inter"]
+        psum[flat] = out["psum"]
+        tsum[flat] = out["tsum"]
+        if collect_outputs:
+            if outputs is None:
+                outputs = np.zeros((n,) + out["probs"].shape[1:], np.float32)
+                labels_np = np.zeros((n,) + batch["target"].shape[1:], np.int64)
+            outputs[flat] = out["probs"]
+            labels_np[flat] = batch["target"]
+    # replay metric updates in the reference's sequential batch grouping
+    if eval_batch_size is None:
+        eval_batch_size = loader.batch_size
+    for lo in range(0, n, eval_batch_size):
+        sel = slice(lo, lo + eval_batch_size)
+        metric_fn.update(inter[sel], psum[sel], tsum[sel])
+    metrics = metric_fn.compute()
+    metric_dict = flatten_metric_dict(metrics)
+    metric_fn.reset()
+    valid_stats = {"loss": float(loss_ps.mean())}
+    metric_str = "  ".join(f"{k}: {v:.3f}" for k, v in metric_dict.items())
+    log(f"* {metric_str}  loss: {valid_stats['loss']:.3f}  "
+        f"({time.time() - t0:.1f}s)")
+    labels_onehot = None
+    if collect_outputs:
+        eye = np.eye(num_classes, dtype=np.int64)
+        labels_onehot = eye[labels_np].transpose(0, 2, 1)  # (N, C, T)
+    return valid_stats, metric_dict, outputs, labels_onehot
+
+
+# ---------------------------------------------------------------------------
+# The shared train driver
+# ---------------------------------------------------------------------------
+
+
+def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
+                 output_subdir: Optional[str] = None,
+                 unlabeled_subset_ids=None,
+                 snapshot_epochs=(), state_hook=None) -> None:
+    """End-to-end training (base.py:248-439 and its five siblings).
+
+    ``output_subdir``/``snapshot_epochs``/``unlabeled_subset_ids`` serve the
+    ST++ pipeline (stage dirs, ⅓/⅔/full snapshots, reliable-subset stage 2).
+    """
+    init_distributed_mode(config.get("ddp"))
+    log(f"job dir: {os.getcwd()}")
+    log(yaml.dump(config, default_flow_style=False, sort_keys=False))
+
+    mesh = make_mesh(config)
+    seed = config["seed"]
+    dp = data_parallel_size(mesh)
+
+    loaders = build_train_loaders(config, mesh, spec, unlabeled_subset_ids)
+    steps_per_epoch = len(loaders["labeled"])
+    assert steps_per_epoch > 0, "empty train loader"
+
+    out_dir = experiment_dir(config)
+    if out_dir and output_subdir:
+        out_dir = os.path.join(out_dir, output_subdir)
+    log_writer = None
+    if is_main_process() and out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        log_writer = TensorBoardWriter(out_dir)
+    jsonl = JsonlLogger(out_dir if is_main_process() else None)
+
+    model = build_model_from_config(config, train=True)
+    resolve_lr(config, dp)
+    eff = config["train"]["eff_batch_size"]
+    log(f"base lr: {config['train']['lr'] * 256 / eff}")
+    log(f"actual lr: {config['train']['lr']}")
+    log(f"accumulate grad iterations: {config['train'].get('accum_iter', 1)}")
+    log(f"effective batch size: {eff}")
+
+    accum = config["train"].get("accum_iter", 1) or 1
+    updates_per_epoch = max(steps_per_epoch // accum, 1)
+    tx = build_optimizer(config, None, updates_per_epoch, model=model)
+    if accum > 1:
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+
+    state = build_state(config, model, tx, spec, seed)
+    if spec.post_init_state is not None:
+        state = spec.post_init_state(config, model, state)
+    if state_hook is not None:
+        state = state_hook(config, model, state)
+    state = ckpt.maybe_resume(config, state)
+    state = jax.device_put(state, replicated(mesh))
+
+    lr_fn = make_lr_schedule(config["train"], updates_per_epoch)
+    train_step = jax.jit(
+        spec.make_train_step(model, tx, config, updates_per_epoch),
+        donate_argnums=0,
+    )
+    num_classes = config["metric"]["num_classes"]
+    eval_step = make_eval_step(model, num_classes)
+    metric_fn, best_metrics = build_metric_fn(config["metric"])
+
+    num_epochs = config["train"]["epochs"]
+    log(f"Start training for {num_epochs} epochs")
+    best_loss = float("inf")
+    start_time = time.time()
+    target_metric = config.get("test", {}).get("target_metric", "MeanIoU")
+
+    for epoch in range(config.get("start_epoch", 0), num_epochs):
+        for name in ("labeled", "unlabeled"):
+            if name in loaders:
+                loaders[name].set_epoch(epoch)
+        state, train_stats = _train_one_epoch(
+            train_step, state, loaders, spec, mesh, epoch, steps_per_epoch,
+            lr_fn, accum, log_writer, config,
+        )
+        valid_stats, metrics, _, _ = evaluate(
+            model, state.model, loaders["valid"], metric_fn, mesh,
+            num_classes, collect_outputs=False, eval_step=eval_step,
+        )
+        curr_loss = valid_stats["loss"]
+
+        if out_dir and (epoch + 1) in snapshot_epochs:
+            _save(config, os.path.join(out_dir, f"checkpoint-{epoch + 1}.ckpt"),
+                  epoch, state, {"loss": curr_loss, **metrics})
+        if out_dir and curr_loss < best_loss:
+            best_loss = curr_loss
+            _save(config, os.path.join(out_dir, "best-loss.ckpt"), epoch,
+                  state, {"loss": curr_loss, **metrics})
+        for metric_name, metric_obj in metric_fn.items():
+            if metric_obj.per_class:
+                continue
+            curr = metrics[metric_name]
+            log(f"{metric_name}: {curr:.3f}")
+            if out_dir and is_best_metric(
+                metric_obj, best_metrics[metric_name], curr
+            ):
+                best_metrics[metric_name] = curr
+                _save(config,
+                      os.path.join(out_dir, f"best-{metric_name}.ckpt"),
+                      epoch, state, {"loss": curr_loss, **metrics})
+            log(f"Best {metric_name}: {best_metrics[metric_name]:.3f}")
+
+        if log_writer is not None:
+            log_writer.add_scalar("perf/valid_loss", curr_loss, epoch)
+            for k, v in metrics.items():
+                log_writer.add_scalar(f"perf/{k}", v, epoch)
+            log_writer.flush()
+        jsonl.write({
+            **{f"train_{k}": v for k, v in train_stats.items()},
+            **{f"valid_{k}": v for k, v in valid_stats.items()},
+            **metrics,
+            "epoch": epoch,
+        })
+
+    total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
+    log(f"Training time {total}")
+    if log_writer is not None:
+        log_writer.close()
+
+
+def _save(config, path, epoch, state: TrainState, metrics):
+    ckpt.save_checkpoint(
+        path, epoch, state.model, opt_state=state.opt_state, config=config,
+        metrics=metrics, ema_state=state.ema, peer_state=state.peer,
+        peer_opt_state=state.peer_opt_state, step=int(state.step),
+    )
+
+
+def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
+                     steps_per_epoch, lr_fn, accum, log_writer, config):
+    logger = MetricLogger()
+    pending = []
+    t_epoch = time.time()
+    t_last = time.time()
+    data_wait = 0.0
+
+    def drain(it):
+        nonlocal pending
+        if not pending:
+            return
+        host_vals = jax.device_get([m for _, m in pending])
+        for (i, _), vals in zip(pending, host_vals):
+            scalars = {k: float(v) for k, v in vals.items()}
+            if not math.isfinite(scalars.get("loss",
+                                             scalars.get("loss_total", 0.0))):
+                log(f"Loss is {scalars}, stopping training", force=True)
+                sys.exit(1)
+            update_step = (epoch * steps_per_epoch + i) // accum
+            scalars["lr"] = float(lr_fn(update_step))
+            logger.update(**scalars)
+            if log_writer is not None and (i + 1) % accum == 0:
+                # epoch_1000x x-axis (base.py:160-172 convention)
+                epoch_1000x = int((epoch + i / steps_per_epoch) * 1000)
+                for k, v in scalars.items():
+                    log_writer.add_scalar(k, v, epoch_1000x)
+        pending = []
+
+    for it, batch in enumerate(combined_batches(loaders, spec)):
+        data_wait += time.time() - t_last
+        sharded = shard_batch(mesh, batch)
+        state, metrics = train_step(state, sharded)
+        pending.append((it, metrics))
+        if (it + 1) % PRINT_FREQ == 0 or it == steps_per_epoch - 1:
+            drain(it)
+            dt = time.time() - t_epoch
+            per_it = dt / (it + 1)
+            eta = str(datetime.timedelta(
+                seconds=int(per_it * (steps_per_epoch - it - 1))
+            ))
+            log(f"Epoch: [{epoch}]  [{it + 1}/{steps_per_epoch}]  "
+                f"eta: {eta}  {logger}  time: {per_it:.4f}  "
+                f"data: {data_wait / (it + 1):.4f}")
+        t_last = time.time()
+    drain(steps_per_epoch - 1)
+    log(f"Averaged stats: {logger}")
+    return state, logger.stats()
+
+
+# ---------------------------------------------------------------------------
+# Shared test / inference entries
+# ---------------------------------------------------------------------------
+
+
+def load_eval_model(config):
+    """Build an eval-mode model and restore the requested checkpoint
+    (base.py:455-469: best-{target_metric} by default, aux heads dropped)."""
+    model = build_model_from_config(config, train=False)
+    model_state = init_model_state(model, config, config.get("seed", 0))
+    if config.get("test", {}).get("model_path", None):
+        checkpoint_path = config["test"]["model_path"]
+    else:
+        target_metric = config.get("test", {}).get("target_metric", "loss")
+        checkpoint_path = os.path.join(
+            experiment_dir(config), f"best-{target_metric}.ckpt"
+        )
+    assert os.path.exists(checkpoint_path), \
+        f"Checkpoint not found: {checkpoint_path}"
+    payload = ckpt.load_checkpoint(checkpoint_path)
+    model_state = ckpt.restore_model_state(payload["model"], model_state)
+    log(f"Loaded checkpoint {checkpoint_path}")
+    return model, model_state
+
+
+def run_test(config: Dict[str, Any]) -> Dict[str, float]:
+    """test() parity (base.py:442-499): evaluate best checkpoint on the test
+    split, write ``test_metrics.csv`` + ``test_outputs.npy`` +
+    ``test_labels.npy``."""
+    import pandas as pd
+
+    init_distributed_mode(config.get("ddp"))
+    out_dir = experiment_dir(config)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    mesh = make_mesh(config)
+    ds_test = build_seg_dataset(config["dataset"], split="test")
+    loader = get_dataloader(
+        ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
+        seed=config["seed"], num_shards=data_parallel_size(mesh),
+        num_workers=config["dataloader"].get("num_workers", 4) or 4,
+    )
+    model, model_state = load_eval_model(config)
+    metric_fn, _ = build_metric_fn(config["metric"])
+    num_classes = config["metric"]["num_classes"]
+    test_stats, metrics, outputs, labels = evaluate(
+        model, model_state, loader, metric_fn, mesh, num_classes,
+        eval_batch_size=config["dataloader"]["batch_size"],
+    )
+    metrics = dict(metrics)
+    metrics["loss"] = test_stats["loss"]
+    if out_dir and is_main_process():
+        pd.DataFrame([metrics]).to_csv(
+            os.path.join(out_dir, "test_metrics.csv"), index=False,
+            float_format="%.4f",
+        )
+        np.save(os.path.join(out_dir, "test_outputs.npy"), outputs)
+        np.save(os.path.join(out_dir, "test_labels.npy"), labels)
+    log("Done!")
+    return metrics
+
+
+def run_inference(config: Dict[str, Any]) -> np.ndarray:
+    """inference() parity (inference.py:77-126): softmax outputs over the
+    test split → ``test_outputs.npy`` (no labels, no metrics)."""
+    init_distributed_mode(config.get("ddp"))
+    out_dir = experiment_dir(config)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    mesh = make_mesh(config)
+    ds_test = build_seg_dataset(config["dataset"], split="test")
+    loader = get_dataloader(
+        ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
+        seed=config["seed"], num_shards=data_parallel_size(mesh),
+        num_workers=config["dataloader"].get("num_workers", 4) or 4,
+    )
+    model, model_state = load_eval_model(config)
+
+    @jax.jit
+    def infer_step(mstate: ModelState, batch):
+        out = apply_eval(model, mstate, batch["ecg"])
+        return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
+
+    n = len(ds_test)
+    mat = loader.step_indices()
+    outputs = None
+    for step, batch in enumerate(loader):
+        probs = np.asarray(infer_step(model_state, shard_batch(mesh, batch)))
+        if outputs is None:
+            outputs = np.zeros((n,) + probs.shape[1:], np.float32)
+        outputs[mat[step].reshape(-1)] = probs
+    if out_dir and is_main_process():
+        np.save(os.path.join(out_dir, "test_outputs.npy"), outputs)
+    log("Done!")
+    return outputs

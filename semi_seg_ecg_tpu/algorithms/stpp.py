@@ -1,0 +1,237 @@
+"""ST++: 3-stage self-training with reliability-ranked pseudo-labels
+(``algorithm: stpp``).
+
+Parity with the reference pipeline (src/algorithms/stpp.py:737-752):
+
+1. ``train_sup`` — supervised stage saving snapshot checkpoints at ⅓ / ⅔ /
+   final epochs (stpp.py:377-386) under ``{exp}/stage1``;
+2. ``prepare_semisup`` — rank unlabeled samples by the mean per-sample mIoU
+   agreement of the ⅓/⅔ snapshots against the final snapshot
+   (``select_reliable``, stpp.py:45-88), keep the top half. The reference's
+   shadowed-loop-index bug (stpp.py:51 vs :72 — stored ids are wrong) is
+   fixed: ranking uses true dataset indices. The pass is batched and
+   mesh-sharded instead of batch-size-1 (stpp.py:56-57);
+3. ``train_semisup`` stage 2 (reliable half, teacher = stage-1 best) under
+   ``{exp}/stage2``, then stage 3 (all unlabeled, teacher = stage-2 best) in
+   the experiment root (stpp.py:544-548).
+
+Stage teachers are frozen (stpp.py:593-594) and live in the state's ``ema``
+slot without EMA updates. The semi-supervised loss is hard CE on the *weak*
+unlabeled view (stpp.py:150-178).
+
+Host-side orchestration stays sequential by nature, but there is no process
+-group teardown dance (stpp.py:739-748): one JAX runtime spans all stages.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import (
+    AlgorithmSpec,
+    apply_eval,
+    apply_train,
+    init_model_state,
+    run_test,
+    run_training,
+    sgd_update,
+    step_rngs,
+)
+from ..config import experiment_dir
+from ..data.dataset import build_seg_dataset
+from ..data.loader import get_dataloader
+from ..models import build_model_from_config
+from ..ops.losses import cross_entropy
+from ..ops.metrics import segmentation_stats
+from ..parallel.mesh import data_parallel_size, make_mesh, shard_batch
+from ..utils import checkpoint as ckpt
+from ..utils.logging import log
+from ..utils.train_state import ModelState
+from .base import SPEC as BASE_SPEC, aux_loss_weights
+
+
+def calculate_miou(inter: np.ndarray, psum: np.ndarray, tsum: np.ndarray,
+                   ignore_background: bool = False) -> np.ndarray:
+    """Per-sample mIoU between two prediction maps (stpp.py:32-42 parity:
+    classes with empty union contribute 0)."""
+    if ignore_background:
+        inter, psum, tsum = inter[:, 1:], psum[:, 1:], tsum[:, 1:]
+    union = psum + tsum - inter
+    iou = np.divide(inter, union, out=np.zeros(inter.shape, dtype=np.float64),
+                    where=union > 0)
+    return iou.mean(axis=1)
+
+
+def select_reliable(
+    model, snapshot_states: List[ModelState], loader, mesh, num_classes: int
+) -> Tuple[List[int], List[int]]:
+    """Reliability ranking (stpp.py:45-88): agreement of each earlier
+    snapshot with the final one, averaged; descending sort; top half."""
+
+    @jax.jit
+    def preds_fn(states, batch):
+        return jnp.stack([
+            jnp.argmax(apply_eval(model, s, batch["ecg"])["seg_logits"],
+                       axis=1)
+            for s in states
+        ])  # (S, B, T)
+
+    n = len(loader.dataset)
+    mat = loader.step_indices()
+    reliability = np.zeros(n)
+    for step, batch in enumerate(loader):
+        preds = np.asarray(preds_fn(snapshot_states,
+                                    shard_batch(mesh, batch)))
+        flat = mat[step].reshape(-1)
+        mious = []
+        final = jnp.asarray(preds[-1])
+        for s in range(len(snapshot_states) - 1):
+            inter, psum, tsum = segmentation_stats(
+                jnp.asarray(preds[s]), final, num_classes
+            )
+            mious.append(calculate_miou(np.asarray(inter), np.asarray(psum),
+                                        np.asarray(tsum)))
+        reliability[flat] = np.mean(mious, axis=0)
+    order = np.argsort(-reliability, kind="stable")
+    half = len(order) // 2
+    return order[:half].tolist(), order[half:].tolist()
+
+
+def prepare_semisup(config) -> List[int]:
+    """Load the 3 stage-1 snapshots and rank the unlabeled set
+    (stpp.py:452-484)."""
+    mesh = make_mesh(config)
+    ds = build_seg_dataset(config["dataset"], split="train_unlabeled",
+                           mode="eval")
+    loader = get_dataloader(
+        ds, mode="eval", batch_size=config["dataloader"]["batch_size"],
+        seed=config["seed"], num_shards=data_parallel_size(mesh),
+        num_workers=config["dataloader"].get("num_workers", 4) or 4,
+    )
+    model = build_model_from_config(config, train=False)
+    template = init_model_state(model, config, config["seed"])
+    num_epochs = config["train"]["epochs"]
+    states = []
+    stage1 = os.path.join(experiment_dir(config), "stage1")
+    for e in [num_epochs // 3, num_epochs * 2 // 3, num_epochs]:
+        payload = ckpt.load_checkpoint(
+            os.path.join(stage1, f"checkpoint-{e}.ckpt")
+        )
+        states.append(ckpt.restore_model_state(payload["model"], template))
+    reliable, _unreliable = select_reliable(
+        model, states, loader, mesh, config["metric"]["num_classes"]
+    )
+    log(f"ST++ reliability ranking: {len(reliable)} reliable / "
+        f"{len(_unreliable)} unreliable unlabeled samples")
+    return reliable
+
+
+def make_train_step(model, tx, config, updates_per_epoch):
+    """Self-training step: frozen teacher's hard labels on the weak view
+    (stpp.py:150-178)."""
+    seed = config["seed"]
+    train_cfg = config["train"]
+
+    def train_step(state, batch):
+        rngs = step_rngs(seed, state.step)
+        ecg_x, mask_x = batch["ecg"], batch["target"]
+        ecg_u_w = batch["ecg_u_w"]
+        num_lb = ecg_x.shape[0]
+
+        mask_u_w = jnp.argmax(
+            apply_eval(model, state.ema, ecg_u_w)["seg_logits"], axis=1
+        )
+        mask_u_w = jax.lax.stop_gradient(mask_u_w)
+
+        def loss_fn(params):
+            out, new_stats = apply_train(
+                model, params, state.model.batch_stats,
+                jnp.concatenate([ecg_x, ecg_u_w], axis=0), rngs,
+            )
+            pred_x = out["seg_logits"][:num_lb]
+            pred_u = out["seg_logits"][num_lb:]
+            loss_x = cross_entropy(pred_x, mask_x)
+            if "aux_seg_logits" in out:
+                for w, aux in zip(
+                    aux_loss_weights(train_cfg, len(out["aux_seg_logits"])),
+                    out["aux_seg_logits"],
+                ):
+                    loss_x = loss_x + w * cross_entropy(aux[:num_lb], mask_x)
+            loss_u_s = cross_entropy(pred_u, mask_u_w)
+            loss = (loss_x + loss_u_s) / 2.0
+            return loss, (new_stats, loss_x, loss_u_s)
+
+        (loss, (new_stats, loss_x, loss_u_s)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.model.params)
+        new_params, new_opt = sgd_update(
+            tx, grads, state.opt_state, state.model.params
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            model=ModelState(new_params, new_stats),
+            opt_state=new_opt,
+            # state.ema (the stage teacher) is intentionally untouched
+        )
+        return new_state, {"loss_total": loss, "loss_x": loss_x,
+                           "loss_u_s": loss_u_s, "loss": loss}
+
+    return train_step
+
+
+def _load_stage_teacher(stage_id: int):
+    def hook(config, model, state):
+        target_metric = config.get("test", {}).get("target_metric", "MeanIoU")
+        path = os.path.join(
+            experiment_dir(config), f"stage{stage_id - 1}",
+            f"best-{target_metric}.ckpt",
+        )
+        payload = ckpt.load_checkpoint(path)
+        log(f"Load teacher model from {path}")
+        teacher = ckpt.restore_model_state(payload["model"], state.model)
+        return state.replace(ema=teacher)
+
+    return hook
+
+
+SEMISUP_SPEC = AlgorithmSpec(
+    name="stpp",
+    make_train_step=make_train_step,
+    uses_unlabeled=True,
+    uses_ema=True,  # the slot holds the frozen stage teacher
+)
+
+
+def train_sup(config):
+    """Stage 1 (stpp.py:248-449): supervised + ⅓/⅔/final snapshots."""
+    num_epochs = config["train"]["epochs"]
+    snapshots = {num_epochs // 3, num_epochs * 2 // 3, num_epochs}
+    run_training(config, BASE_SPEC, output_subdir="stage1",
+                 snapshot_epochs=snapshots)
+
+
+def train_semisup(config, stage_id: int, unlabeled_subset_ids=None):
+    """Stages 2/3 (stpp.py:488-735)."""
+    run_training(
+        config,
+        SEMISUP_SPEC,
+        output_subdir=("stage2" if stage_id == 2 else None),
+        unlabeled_subset_ids=unlabeled_subset_ids,
+        state_hook=_load_stage_teacher(stage_id),
+    )
+
+
+def train(config):
+    train_sup(config)
+    reliable_ids = prepare_semisup(config)
+    train_semisup(config, stage_id=2, unlabeled_subset_ids=reliable_ids)
+    train_semisup(config, stage_id=3)
+
+
+def test(config):
+    return run_test(config)

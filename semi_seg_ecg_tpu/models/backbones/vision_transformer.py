@@ -243,10 +243,10 @@ class VisionTransformer1D(nn.Module):
         if self.uniform_dpr:
             dpr = [self.drop_path_rate] * self.depth
         else:
-            dpr = [
-                float(r)
-                for r in jnp.linspace(0, self.drop_path_rate, self.depth)
-            ]
+            import numpy as np
+
+            # host-side: rates are static module hyperparameters
+            dpr = np.linspace(0, self.drop_path_rate, self.depth).tolist()
         features = []
         for i in range(self.depth):
             x = TransformerBlock(

@@ -1,1 +1,2 @@
-from . import checkpoint, logging, lr_decay, lr_sched, optimizer  # noqa: F401
+# Submodules are imported explicitly (no eager re-exports) to keep the
+# utils <-> parallel dependency graph acyclic.

@@ -1,0 +1,161 @@
+"""Single-file checkpoint save / load.
+
+Capability parity with ``misc.save_model`` / ``misc.load_model``
+(reference src/utils/misc.py:281-321): one file per checkpoint holding
+``{epoch, model, optimizer, config, metrics?, model_ema?, peer?}``, written
+rank-0-only, with resume restoring model (+ema/peer) + optimizer and setting
+``start_epoch = epoch + 1``. File naming keeps the reference layout with a
+``.ckpt`` suffix (``best-loss.ckpt``, ``best-MeanIoU.ckpt``,
+``checkpoint-{E}.ckpt``).
+
+Format: a pickled nested dict whose leaves are NumPy arrays (device arrays
+are pulled host-side first). Optimizer state (an optax pytree of
+namedtuples) is stored as flattened leaves and re-attached to a freshly
+initialised treedef on load — robust to optax's internal class names.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.dist import is_main_process
+from .logging import log
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    epoch: int,
+    model_state,
+    opt_state=None,
+    config: Optional[Dict[str, Any]] = None,
+    metrics: Optional[Dict[str, Any]] = None,
+    ema_state=None,
+    peer_state=None,
+    peer_opt_state=None,
+    step: Optional[int] = None,
+) -> None:
+    if not is_main_process():
+        return
+    payload: Dict[str, Any] = {
+        "epoch": epoch,
+        "step": int(step) if step is not None else None,
+        "model": {
+            "params": _to_host(model_state.params),
+            "batch_stats": _to_host(model_state.batch_stats),
+        },
+        "config": config,
+    }
+    if opt_state is not None:
+        payload["optimizer"] = jax.tree.leaves(_to_host(opt_state))
+    if metrics is not None:
+        payload["metrics"] = metrics
+    if ema_state is not None:
+        payload["model_ema"] = {
+            "params": _to_host(ema_state.params),
+            "batch_stats": _to_host(ema_state.batch_stats),
+        }
+    if peer_state is not None:
+        payload["model_peer"] = {
+            "params": _to_host(peer_state.params),
+            "batch_stats": _to_host(peer_state.batch_stats),
+        }
+        if peer_opt_state is not None:
+            payload["peer_optimizer"] = jax.tree.leaves(_to_host(peer_opt_state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)  # atomic: no torn checkpoints on preemption
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_opt_state(template_opt_state, leaves):
+    treedef = jax.tree.structure(template_opt_state)
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _restore_by_path(payload: Any, template: Any, path: str = ""):
+    """Walk the template structure, pulling values from the payload by key.
+
+    Keys present in the payload but absent from the template are ignored —
+    this is how auxiliary-head weights get dropped when loading a training
+    checkpoint into an eval model (reference base.py:464-468 strips
+    ``auxiliary_head*`` keys)."""
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            assert isinstance(payload, dict) and k in payload, \
+                f"checkpoint missing key: {path}/{k}"
+            out[k] = _restore_by_path(payload[k], v, f"{path}/{k}")
+        return out
+    arr = np.asarray(payload)
+    assert arr.shape == tuple(template.shape), \
+        f"shape mismatch at {path}: ckpt {arr.shape} vs model {template.shape}"
+    return arr.astype(template.dtype)
+
+
+def restore_model_state(payload_model: Dict[str, Any], template_model_state):
+    """Rebuild a ModelState from checkpoint dicts, matching by path so that
+    submodule additions/removals (aux heads) restore cleanly."""
+    from .train_state import ModelState
+
+    return ModelState(
+        params=_restore_by_path(
+            payload_model["params"], template_model_state.params, "params"
+        ),
+        batch_stats=_restore_by_path(
+            payload_model["batch_stats"], template_model_state.batch_stats,
+            "batch_stats",
+        ),
+    )
+
+
+def maybe_resume(config: Dict[str, Any], state, build_opt_template=None):
+    """``--resume`` handling (misc.py:305-321 parity): restores model
+    (+ema/+peer) and optimizer, sets ``config['start_epoch'] = epoch + 1``.
+    Returns the (possibly updated) state."""
+    resume = config.get("resume")
+    if not resume:
+        return state
+    payload = load_checkpoint(resume)
+    state = state.replace(
+        model=restore_model_state(payload["model"], state.model)
+    )
+    if state.ema is not None and "model_ema" in payload:
+        state = state.replace(
+            ema=restore_model_state(payload["model_ema"], state.ema)
+        )
+    if state.peer is not None and "model_peer" in payload:
+        state = state.replace(
+            peer=restore_model_state(payload["model_peer"], state.peer)
+        )
+    log(f"Resume checkpoint {resume}")
+    if "optimizer" in payload and payload.get("epoch") is not None:
+        state = state.replace(
+            opt_state=restore_opt_state(state.opt_state, payload["optimizer"])
+        )
+        if state.peer_opt_state is not None and "peer_optimizer" in payload:
+            state = state.replace(
+                peer_opt_state=restore_opt_state(
+                    state.peer_opt_state, payload["peer_optimizer"]
+                )
+            )
+        if payload.get("step") is not None:
+            import jax.numpy as jnp
+
+            state = state.replace(step=jnp.asarray(payload["step"], jnp.int32))
+        config["start_epoch"] = payload["epoch"] + 1
+        log("With optim & sched!")
+    return state

@@ -1,0 +1,135 @@
+"""Optimizer factory: config → optax gradient transformation.
+
+Parity with ``get_optimizer_from_config`` (reference src/utils/
+optimizer.py:8-37: sgd / adamw with betas, eps, momentum) plus the pieces
+torch keeps outside the optimizer:
+
+- the per-iteration warmup+cosine LR schedule (lr_sched.py:6-18) is baked in
+  as an optax schedule over the step counter, so the whole update runs
+  inside the jitted train step (no host → device hyperparameter traffic);
+- layer-wise lr scales and selective weight decay (lr_decay.py:3-50) become
+  per-leaf multiplier / mask pytrees;
+- ``max_norm`` gradient clipping (misc.py:245-248) is a chained
+  ``clip_by_global_norm``.
+
+Matching torch AdamW exactly: decoupled weight decay scaled by the
+*effective* (scheduled × layer-scaled) lr, i.e.
+``p -= lr_g * (adam_update + wd * p)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import optax
+
+from . import lr_sched
+
+
+def make_lr_schedule(train_cfg: Dict[str, Any], steps_per_epoch: int):
+    """Step → lr, applying the reference's fractional-epoch convention
+    (epoch = step / steps_per_epoch, updated every iteration —
+    base.py:113-118)."""
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        return lr_sched.cosine_warmup_lr(epoch, train_cfg)
+
+    return schedule
+
+
+def scale_by_lr_tree(scales) -> optax.GradientTransformation:
+    """Multiply each update leaf by its layer-decay scale."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return (
+            jax.tree.map(lambda u, s: u * s, updates, scales),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def get_optimizer_from_config(
+    train_cfg: Dict[str, Any],
+    steps_per_epoch: int,
+    lr_scales=None,
+    wd_mask=None,
+) -> optax.GradientTransformation:
+    opt_name = train_cfg["optimizer"]
+    weight_decay = train_cfg["weight_decay"]
+    kwargs = train_cfg.get("optimizer_kwargs", {}) or {}
+    max_norm = train_cfg.get("max_norm", None)
+    schedule = make_lr_schedule(train_cfg, steps_per_epoch)
+
+    chain = []
+    if max_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_norm))
+
+    if opt_name == "sgd":
+        momentum = kwargs.get("momentum", 0)
+        if momentum:
+            chain.append(optax.trace(decay=momentum))
+    elif opt_name == "adamw":
+        betas = kwargs.get("betas", (0.9, 0.999))
+        b1, b2 = tuple(betas)
+        eps = kwargs.get("eps", 1e-8)
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    else:
+        raise ValueError(f"Unknown optimizer: {opt_name}")
+
+    if weight_decay:
+        # reference default (no layer_decay): wd on ALL params, matching a
+        # single torch param group (base.py:339-341); masks only appear via
+        # layer-decay's no-decay grouping
+        chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
+    if lr_scales is not None:
+        chain.append(scale_by_lr_tree(lr_scales))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)
+
+
+def build_optimizer(
+    config: Dict[str, Any],
+    params,
+    steps_per_epoch: int,
+    model=None,
+    backbone_depth: Optional[int] = None,
+) -> optax.GradientTransformation:
+    """Full assembly incl. optional layer decay (base.py:331-341 parity)."""
+    train_cfg = config["train"]
+    layer_decay = train_cfg.get("layer_decay", None)
+    lr_scales = wd_mask = None
+    if layer_decay:
+        from .lr_decay import param_lr_scales_and_wd_mask
+
+        no_wd = set()
+        if model is not None and hasattr(model, "no_weight_decay"):
+            no_wd = model.no_weight_decay()
+        depth = backbone_depth
+        if depth is None and model is not None:
+            depth = getattr(model.backbone, "depth", None)
+        assert depth is not None, "layer_decay requires a backbone with depth"
+        lr_scales, wd_mask = param_lr_scales_and_wd_mask(
+            params, depth, layer_decay, no_wd
+        )
+    return get_optimizer_from_config(
+        train_cfg, steps_per_epoch, lr_scales=lr_scales, wd_mask=wd_mask
+    )
+
+
+def resolve_lr(config: Dict[str, Any], mesh_data_size: int) -> None:
+    """Linear-scaling rule: ``lr = blr * eff_batch / 256`` when ``lr`` is
+    unset (base.py:309-316). Mutates the config in place like the
+    reference."""
+    train_cfg = config["train"]
+    eff = config["dataloader"]["batch_size"]
+    eff *= train_cfg.get("accum_iter", 1)
+    eff *= mesh_data_size
+    if train_cfg.get("lr") is None:
+        train_cfg["lr"] = train_cfg["blr"] * eff / 256
+    config["train"]["eff_batch_size"] = eff
