@@ -132,11 +132,12 @@ def load_pretrained_backbone(config, model_state: ModelState) -> ModelState:
 
 
 def build_state(
-    config, model, tx, spec: AlgorithmSpec, seed: int
+    config, model, tx, spec: AlgorithmSpec, seed: int, student=None
 ) -> TrainState:
-    student = init_model_state(model, config, seed)
-    if config.get("mode", "scratch") != "scratch":
-        student = load_pretrained_backbone(config, student)
+    if student is None:
+        student = init_model_state(model, config, seed)
+        if config.get("mode", "scratch") != "scratch":
+            student = load_pretrained_backbone(config, student)
     ema = None
     if spec.uses_ema:
         # teacher starts as a frozen copy of the student
@@ -391,13 +392,17 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
 
     accum = config["train"].get("accum_iter", 1) or 1
     updates_per_epoch = max(steps_per_epoch // accum, 1)
-    tx = build_optimizer(config, None, updates_per_epoch, model=model)
+    student = init_model_state(model, config, seed)
+    if config.get("mode", "scratch") != "scratch":
+        student = load_pretrained_backbone(config, student)
+    tx = build_optimizer(config, student.params, updates_per_epoch,
+                         model=model)
     if accum > 1:
         import optax
 
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
 
-    state = build_state(config, model, tx, spec, seed)
+    state = build_state(config, model, tx, spec, seed, student=student)
     if spec.post_init_state is not None:
         state = spec.post_init_state(config, model, state)
     if state_hook is not None:

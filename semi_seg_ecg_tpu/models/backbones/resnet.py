@@ -191,6 +191,11 @@ class ResNet1D(nn.Module):
         )
         x = x.astype(self.dtype)
 
+        # frozen stages run in inference mode: no BN stat updates
+        # (resnet.py:341-351 `.eval()` parity; param freezing happens in the
+        # optimizer's frozen mask)
+        stem_train = train and self.frozen_stages < 0
+
         # Stem (resnet.py:206-257): k7/s2 conv (or 3 stacked k3) + maxpool
         if self.deep_stem:
             half = self.stem_channels // 2
@@ -199,12 +204,12 @@ class ResNet1D(nn.Module):
             ):
                 x = nn.relu(
                     ConvBN(feats, 3, stride, dtype=self.dtype,
-                           name=f"stem_{i}")(x, train)
+                           name=f"stem_{i}")(x, stem_train)
                 )
         else:
             x = nn.relu(
                 ConvBN(self.stem_channels, 7, 2, dtype=self.dtype,
-                       name="stem_0")(x, train)
+                       name="stem_0")(x, stem_train)
             )
         x = nn.max_pool(x, (3,), strides=(2,), padding=[(1, 1)])
 
@@ -214,6 +219,7 @@ class ResNet1D(nn.Module):
         outs = []
         stage_blocks = tuple(self.stage_blocks)[: self.num_stages]
         for i, num_blocks in enumerate(stage_blocks):
+            stage_train = train and (i + 1) > self.frozen_stages
             stride = self.strides[i]
             dilation = self.dilations[i]
             stage_multi_grid = (
@@ -239,7 +245,7 @@ class ResNet1D(nn.Module):
                 zero_init_residual=self.zero_init_residual,
                 dtype=self.dtype,
                 name=f"layer{i + 1}_block0",
-            )(x, train)
+            )(x, stage_train)
             for j in range(1, num_blocks):
                 x = block_cls(
                     planes=planes,
@@ -250,7 +256,7 @@ class ResNet1D(nn.Module):
                     zero_init_residual=self.zero_init_residual,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_block{j}",
-                )(x, train)
+                )(x, stage_train)
             inplanes = planes * expansion
             if i in self.out_indices:
                 outs.append(x)

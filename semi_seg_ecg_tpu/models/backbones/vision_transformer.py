@@ -249,6 +249,9 @@ class VisionTransformer1D(nn.Module):
             dpr = np.linspace(0, self.drop_path_rate, self.depth).tolist()
         features = []
         for i in range(self.depth):
+            # frozen blocks run deterministically (vision_transformer.py:
+            # 280-284 `.eval()` parity; param freezing is the optimizer's job)
+            block_train = train and i >= self.frozen_stages
             x = TransformerBlock(
                 output_dim=self.width,
                 hidden_dim=self.mlp_dim,
@@ -263,7 +266,7 @@ class VisionTransformer1D(nn.Module):
                 layer_scale=self.layer_scale,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, train)
+            )(x, block_train)
             if i == self.depth - 1 and self.final_norm:
                 x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                  name="norm")(x)

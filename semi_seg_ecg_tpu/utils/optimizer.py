@@ -39,6 +39,64 @@ def make_lr_schedule(train_cfg: Dict[str, Any], steps_per_epoch: int):
     return schedule
 
 
+def zero_frozen_grads(frozen_mask) -> optax.GradientTransformation:
+    """Zero gradients of frozen leaves *before* the optimizer statistics —
+    the analogue of ``requires_grad=False`` (reference base.py:301-303
+    ``freeze_backbone``, resnet.py:341-351 ``frozen_stages``)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return (
+            jax.tree.map(
+                lambda u, frozen: jax.numpy.zeros_like(u) if frozen else u,
+                updates, frozen_mask,
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def frozen_param_mask(params, config, backbone_frozen_stages: int = -1,
+                      backbone_type: str = "resnet"):
+    """Pytree of bools: True = frozen.
+
+    - ``mode: freeze_backbone`` freezes the whole backbone subtree
+      (base.py:301-303);
+    - ``frozen_stages`` freezes the stem/patch-embedding and the first
+      stages/blocks (resnet.py:341-351, vision_transformer.py:274-284).
+    """
+    freeze_all_backbone = config.get("mode") == "freeze_backbone"
+
+    def is_frozen(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if not names or names[0] != "backbone":
+            return False
+        if freeze_all_backbone:
+            return True
+        s = backbone_frozen_stages
+        if s < 0 or len(names) < 2:
+            return False
+        sub = names[1]
+        if backbone_type == "resnet":
+            if sub.startswith("stem"):
+                return True
+            if sub.startswith("layer"):
+                stage = int(sub[5:].split("_")[0])
+                return stage <= s
+        else:  # vit
+            if sub in ("pos_embedding", "Dense_0", "LayerNorm_0",
+                       "LayerNorm_1"):
+                return True
+            if sub.startswith("block") and sub[5:].isdigit():
+                return int(sub[5:]) < s
+        return False
+
+    return jax.tree_util.tree_map_with_path(is_frozen, params)
+
+
 def scale_by_lr_tree(scales) -> optax.GradientTransformation:
     """Multiply each update leaf by its layer-decay scale."""
 
@@ -59,6 +117,7 @@ def get_optimizer_from_config(
     steps_per_epoch: int,
     lr_scales=None,
     wd_mask=None,
+    frozen_mask=None,
 ) -> optax.GradientTransformation:
     opt_name = train_cfg["optimizer"]
     weight_decay = train_cfg["weight_decay"]
@@ -67,6 +126,8 @@ def get_optimizer_from_config(
     schedule = make_lr_schedule(train_cfg, steps_per_epoch)
 
     chain = []
+    if frozen_mask is not None:
+        chain.append(zero_frozen_grads(frozen_mask))
     if max_norm is not None:
         chain.append(optax.clip_by_global_norm(max_norm))
 
@@ -89,6 +150,10 @@ def get_optimizer_from_config(
         chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
     if lr_scales is not None:
         chain.append(scale_by_lr_tree(lr_scales))
+    if frozen_mask is not None:
+        # torch optimizers skip grad-less params entirely — frozen leaves
+        # must see neither the adam update nor decoupled weight decay
+        chain.append(zero_frozen_grads(frozen_mask))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain)
 
@@ -100,10 +165,14 @@ def build_optimizer(
     model=None,
     backbone_depth: Optional[int] = None,
 ) -> optax.GradientTransformation:
-    """Full assembly incl. optional layer decay (base.py:331-341 parity)."""
+    """Full assembly incl. optional layer decay (base.py:331-341 parity) and
+    backbone freezing (``mode: freeze_backbone`` / ``frozen_stages``).
+
+    ``params`` may be None when neither layer decay nor freezing is
+    configured (no per-leaf trees are needed then)."""
     train_cfg = config["train"]
     layer_decay = train_cfg.get("layer_decay", None)
-    lr_scales = wd_mask = None
+    lr_scales = wd_mask = frozen_mask = None
     if layer_decay:
         from .lr_decay import param_lr_scales_and_wd_mask
 
@@ -114,11 +183,25 @@ def build_optimizer(
         if depth is None and model is not None:
             depth = getattr(model.backbone, "depth", None)
         assert depth is not None, "layer_decay requires a backbone with depth"
+        assert params is not None, "layer_decay requires a params template"
         lr_scales, wd_mask = param_lr_scales_and_wd_mask(
             params, depth, layer_decay, no_wd
         )
+    backbone = getattr(model, "backbone", None)
+    frozen_stages = getattr(backbone, "frozen_stages", -1)
+    if config.get("mode") == "freeze_backbone" or frozen_stages >= 0:
+        assert params is not None, "freezing requires a params template"
+        backbone_type = (
+            "vit" if backbone is not None and hasattr(backbone, "patch_size")
+            else "resnet"
+        )
+        frozen_mask = frozen_param_mask(
+            params, config, backbone_frozen_stages=frozen_stages,
+            backbone_type=backbone_type,
+        )
     return get_optimizer_from_config(
-        train_cfg, steps_per_epoch, lr_scales=lr_scales, wd_mask=wd_mask
+        train_cfg, steps_per_epoch, lr_scales=lr_scales, wd_mask=wd_mask,
+        frozen_mask=frozen_mask,
     )
 
 

@@ -1,0 +1,118 @@
+"""Checkpoint save/restore roundtrips, aux-head dropping, resume wiring."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semi_seg_ecg_tpu.utils import checkpoint as ckpt
+from semi_seg_ecg_tpu.utils.train_state import ModelState, TrainState, ema_update
+
+
+def _model_state(seed=0, extra_key=None):
+    rng = np.random.default_rng(seed)
+    params = {
+        "backbone": {"conv": {"kernel": rng.standard_normal((3, 1, 8))}},
+        "decode_head": {"cls": {"kernel": rng.standard_normal((1, 8, 4))}},
+    }
+    if extra_key:
+        params[extra_key] = {"conv": {"kernel": rng.standard_normal((3, 8, 8))}}
+    stats = {"backbone": {"bn": {"mean": rng.standard_normal((8,)),
+                                 "var": np.abs(rng.standard_normal((8,)))}}}
+    return ModelState(params=jax.tree.map(jnp.asarray, params),
+                      batch_stats=jax.tree.map(jnp.asarray, stats))
+
+
+def test_roundtrip(tmp_path):
+    ms = _model_state()
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(ms.params)
+    path = os.path.join(tmp_path, "best-loss.ckpt")
+    ckpt.save_checkpoint(path, epoch=7, model_state=ms, opt_state=opt_state,
+                         config={"seed": 0}, metrics={"loss": 0.5}, step=99)
+    payload = ckpt.load_checkpoint(path)
+    assert payload["epoch"] == 7
+    assert payload["step"] == 99
+    assert payload["metrics"]["loss"] == 0.5
+    restored = ckpt.restore_model_state(payload["model"], ms)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(ms.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    opt_restored = ckpt.restore_opt_state(opt_state, payload["optimizer"])
+    assert jax.tree.structure(opt_restored) == jax.tree.structure(opt_state)
+
+
+def test_aux_head_dropped_on_eval_restore(tmp_path):
+    train_ms = _model_state(extra_key="auxiliary_head_0")
+    path = os.path.join(tmp_path, "ck.ckpt")
+    ckpt.save_checkpoint(path, 0, train_ms)
+    eval_ms = _model_state()  # no aux head
+    payload = ckpt.load_checkpoint(path)
+    restored = ckpt.restore_model_state(payload["model"], eval_ms)
+    assert "auxiliary_head_0" not in restored.params
+
+
+def test_missing_key_raises(tmp_path):
+    small = _model_state()
+    path = os.path.join(tmp_path, "ck.ckpt")
+    ckpt.save_checkpoint(path, 0, small)
+    bigger = _model_state(extra_key="new_module")
+    payload = ckpt.load_checkpoint(path)
+    with pytest.raises(AssertionError, match="missing key"):
+        ckpt.restore_model_state(payload["model"], bigger)
+
+
+def test_shape_mismatch_raises(tmp_path):
+    ms = _model_state()
+    path = os.path.join(tmp_path, "ck.ckpt")
+    ckpt.save_checkpoint(path, 0, ms)
+    other = _model_state()
+    other.params["backbone"]["conv"]["kernel"] = jnp.zeros((5, 1, 8))
+    payload = ckpt.load_checkpoint(path)
+    with pytest.raises(AssertionError, match="shape mismatch"):
+        ckpt.restore_model_state(payload["model"], other)
+
+
+def test_maybe_resume(tmp_path):
+    ms = _model_state(seed=1)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(ms.params)
+    path = os.path.join(tmp_path, "resume.ckpt")
+    ckpt.save_checkpoint(path, epoch=4, model_state=ms, opt_state=opt_state,
+                         step=50)
+    fresh = TrainState(step=jnp.asarray(0, jnp.int32),
+                       model=_model_state(seed=2),
+                       opt_state=tx.init(ms.params))
+    config = {"resume": path}
+    restored = ckpt.maybe_resume(config, fresh)
+    assert config["start_epoch"] == 5
+    assert int(restored.step) == 50
+    np.testing.assert_array_equal(
+        np.asarray(restored.model.params["backbone"]["conv"]["kernel"]),
+        np.asarray(ms.params["backbone"]["conv"]["kernel"]),
+    )
+    # no resume path → untouched
+    config2 = {"resume": None}
+    assert ckpt.maybe_resume(config2, fresh) is fresh
+
+
+def test_ema_update_mixes_params_and_stats():
+    student = _model_state(seed=3)
+    teacher = _model_state(seed=4)
+    mixed = ema_update(student, teacher, decay=0.9)
+    s = np.asarray(student.params["backbone"]["conv"]["kernel"])
+    t = np.asarray(teacher.params["backbone"]["conv"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(mixed.params["backbone"]["conv"]["kernel"]),
+        t * 0.9 + s * 0.1, rtol=1e-6,
+    )
+    sm = np.asarray(student.batch_stats["backbone"]["bn"]["mean"])
+    tm = np.asarray(teacher.batch_stats["backbone"]["bn"]["mean"])
+    np.testing.assert_allclose(
+        np.asarray(mixed.batch_stats["backbone"]["bn"]["mean"]),
+        tm * 0.9 + sm * 0.1, rtol=1e-6,
+    )

@@ -1,0 +1,179 @@
+"""Optimizer, LR schedule, and layer-decay tests vs reference semantics."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semi_seg_ecg_tpu.utils.lr_decay import (
+    get_layer_id,
+    param_lr_scales_and_wd_mask,
+)
+from semi_seg_ecg_tpu.utils.lr_sched import (
+    cosine_warmup_lr,
+    linear_ramp,
+    power_decay,
+)
+from semi_seg_ecg_tpu.utils.optimizer import (
+    get_optimizer_from_config,
+    make_lr_schedule,
+    resolve_lr,
+)
+
+TRAIN_CFG = {
+    "epochs": 100, "warmup_epochs": 10, "lr": 1e-3, "min_lr": 1e-4,
+    "weight_decay": 0.05, "optimizer": "adamw",
+    "optimizer_kwargs": {"betas": [0.9, 0.999]},
+}
+
+
+def reference_adjust_lr(epoch, cfg):
+    # transcription of the published formula (lr_sched.py:6-18)
+    if epoch < cfg["warmup_epochs"]:
+        return cfg["lr"] * epoch / cfg["warmup_epochs"]
+    return cfg["min_lr"] + (cfg["lr"] - cfg["min_lr"]) * 0.5 * (
+        1 + math.cos(math.pi * (epoch - cfg["warmup_epochs"])
+                     / (cfg["epochs"] - cfg["warmup_epochs"]))
+    )
+
+
+def test_cosine_warmup_matches_reference_formula():
+    for epoch in [0, 0.5, 5, 9.99, 10, 30.3, 55, 99.9, 100]:
+        assert cosine_warmup_lr(epoch, TRAIN_CFG) == pytest.approx(
+            reference_adjust_lr(epoch, TRAIN_CFG)
+        )
+
+
+def test_cosine_warmup_traced_matches_host():
+    vals = jax.jit(lambda e: cosine_warmup_lr(e, TRAIN_CFG))(
+        jnp.asarray([0.5, 10.0, 55.0])
+    )
+    expected = [reference_adjust_lr(e, TRAIN_CFG) for e in [0.5, 10.0, 55.0]]
+    np.testing.assert_allclose(np.asarray(vals), expected, rtol=1e-6)
+
+
+def test_schedule_fractional_epoch_convention():
+    sched = make_lr_schedule(TRAIN_CFG, steps_per_epoch=50)
+    assert float(sched(0)) == 0.0  # warmup starts at 0 (lr_sched.py:8-9)
+    assert float(sched(25)) == pytest.approx(
+        reference_adjust_lr(0.5, TRAIN_CFG))
+    assert float(sched(50 * 55)) == pytest.approx(
+        reference_adjust_lr(55, TRAIN_CFG))
+
+
+def test_unused_schedule_helpers():
+    assert linear_ramp(0, 10, sleep_epochs=2) == 0.0
+    assert linear_ramp(10, 10) == 1.0
+    assert power_decay(0, 10) == 1.0
+    assert power_decay(10, 10) == 0.0
+
+
+def test_adamw_matches_torch_step(rng):
+    torch = pytest.importorskip("torch")
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    g = rng.standard_normal((4, 3)).astype(np.float32)
+    cfg = {**TRAIN_CFG, "lr": 0.01, "warmup_epochs": 0, "min_lr": 0.01}
+    # constant schedule: lr == min_lr == lr
+    tx = get_optimizer_from_config(cfg, steps_per_epoch=1)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for _ in range(3):
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.AdamW([wt], lr=0.01, betas=(0.9, 0.999),
+                             weight_decay=0.05)
+    for _ in range(3):
+        topt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sgd_momentum_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    w0 = rng.standard_normal((5,)).astype(np.float32)
+    g = rng.standard_normal((5,)).astype(np.float32)
+    cfg = {"epochs": 1, "warmup_epochs": 0, "lr": 0.1, "min_lr": 0.1,
+           "weight_decay": 0.0, "optimizer": "sgd",
+           "optimizer_kwargs": {"momentum": 0.9}}
+    tx = get_optimizer_from_config(cfg, steps_per_epoch=1)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for _ in range(3):
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([wt], lr=0.1, momentum=0.9)
+    for _ in range(3):
+        topt.zero_grad()
+        wt.grad = torch.from_numpy(g.copy())
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_max_norm_clipping():
+    cfg = {**TRAIN_CFG, "max_norm": 1.0, "weight_decay": 0.0,
+           "warmup_epochs": 0, "min_lr": 1e-3}
+    tx = get_optimizer_from_config(cfg, steps_per_epoch=1)
+    params = {"w": jnp.zeros((3,))}
+    opt_state = tx.init(params)
+    big_grad = {"w": jnp.asarray([10.0, 0.0, 0.0])}
+    updates, _ = tx.update(big_grad, opt_state, params)
+    # after clipping to norm 1, adam normalises to ~sign; just check finite
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_layer_id_mapping():
+    n = 13  # vit depth 12 → num_layers 13
+    assert get_layer_id(("backbone", "cls_embedding"), n) == 0
+    assert get_layer_id(("backbone", "pos_embedding"), n) == 0
+    assert get_layer_id(("backbone", "Dense_0", "kernel"), n) == 0
+    assert get_layer_id(("backbone", "block0", "x"), n) == 1
+    assert get_layer_id(("backbone", "block11", "x"), n) == 12
+    assert get_layer_id(("decode_head", "cls_seg", "kernel"), n) == n
+
+
+def test_lr_scales_and_wd_mask():
+    params = {
+        "backbone": {
+            "cls_embedding": jnp.zeros((192,)),
+            "block0": {"Dense_0": {"kernel": jnp.zeros((3, 3)),
+                                   "bias": jnp.zeros((3,))}},
+        },
+        "decode_head": {"cls_seg": {"kernel": jnp.zeros((1, 128, 4))}},
+    }
+    scales, mask = param_lr_scales_and_wd_mask(
+        params, depth=12, layer_decay=0.75,
+        no_weight_decay_list={"cls_embedding", "pos_embedding"},
+    )
+    nl = 13
+    assert scales["backbone"]["cls_embedding"] == pytest.approx(0.75**nl)
+    assert scales["backbone"]["block0"]["Dense_0"]["kernel"] == \
+        pytest.approx(0.75 ** (nl - 1))
+    assert scales["decode_head"]["cls_seg"]["kernel"] == pytest.approx(1.0)
+    # wd mask: 1-D params and no-decay names excluded (lr_decay.py:22-28)
+    assert not mask["backbone"]["cls_embedding"]
+    assert not mask["backbone"]["block0"]["Dense_0"]["bias"]
+    assert mask["backbone"]["block0"]["Dense_0"]["kernel"]
+    assert mask["decode_head"]["cls_seg"]["kernel"]
+
+
+def test_resolve_lr_linear_scaling():
+    config = {"dataloader": {"batch_size": 16},
+              "train": {"accum_iter": 2, "lr": None, "blr": 1e-3}}
+    resolve_lr(config, mesh_data_size=8)
+    # eff batch = 16*2*8 = 256 → lr = blr
+    assert config["train"]["lr"] == pytest.approx(1e-3)
+    assert config["train"]["eff_batch_size"] == 256
+    config2 = {"dataloader": {"batch_size": 16},
+               "train": {"accum_iter": 1, "lr": 5e-4, "blr": None}}
+    resolve_lr(config2, mesh_data_size=1)
+    assert config2["train"]["lr"] == 5e-4  # explicit lr wins (base.py:313)

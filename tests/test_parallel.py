@@ -1,0 +1,112 @@
+"""Mesh/parallel semantics: sharded-vs-single equivalence (the SyncBN +
+gradient-allreduce guarantees DDP provides in the reference, SURVEY §2 ⑬)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_seg_ecg_tpu.parallel.mesh import (
+    batch_sharding,
+    data_parallel_size,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+
+def _tiny_config():
+    return {
+        "seed": 0,
+        "precision": "fp32",
+        "mode": "scratch",
+        "backbone": {
+            "resnet18": {"num_leads": 1, "num_stages": 4,
+                         "out_indices": [0, 1, 2, 3],
+                         "dilations": [1, 1, 1, 1], "strides": [1, 2, 2, 2],
+                         "deep_stem": False, "avg_down": False,
+                         "contract_dilation": False}
+        },
+        "decode_head": {
+            "FCNHead": {"in_channels": 512, "in_index": 3, "channels": 16,
+                        "num_convs": 1, "concat_input": False,
+                        "dropout_ratio": 0.0, "num_classes": 4,
+                        "align_corners": False}
+        },
+        "dataset": {"signal_length": 256},
+        "dataloader": {"batch_size": 1},
+        "train": {"epochs": 10, "accum_iter": 1, "warmup_epochs": 1,
+                  "min_lr": 1e-4, "blr": None, "lr": 1e-3,
+                  "weight_decay": 0.05, "max_norm": None, "layer_decay": None,
+                  "optimizer": "adamw",
+                  "optimizer_kwargs": {"betas": [0.9, 0.999]}},
+        "metric": {"task": "segmentation", "num_classes": 4,
+                   "target_metrics": ["MeanIoU"]},
+        "parallel": {"model_parallel": 1},
+    }
+
+
+def _setup(devices):
+    from semi_seg_ecg_tpu.algorithms.base import SPEC, make_train_step
+    from semi_seg_ecg_tpu.algorithms.common import build_state
+    from semi_seg_ecg_tpu.models import build_model_from_config
+    from semi_seg_ecg_tpu.utils.optimizer import build_optimizer
+
+    config = _tiny_config()
+    mesh = make_mesh(config, devices=devices)
+    model = build_model_from_config(config, train=True)
+    tx = build_optimizer(config, None, 10, model=model)
+    state = build_state(config, model, tx, SPEC, seed=0)
+    state = jax.device_put(state, replicated(mesh))
+    step = jax.jit(make_train_step(model, tx, config, 10))
+    return mesh, state, step
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(devices=jax.devices())
+    assert data_parallel_size(mesh) == len(jax.devices())
+    mesh2 = make_mesh({"parallel": {"model_parallel": 2}},
+                      devices=jax.devices())
+    assert mesh2.shape["model"] == 2
+    assert data_parallel_size(mesh2) == len(jax.devices()) // 2
+
+
+def test_sharded_step_equals_single_device_step(rng):
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    global_batch = 8
+    t = 256
+    batch = {
+        "ecg": rng.standard_normal((global_batch, 1, t)).astype(np.float32),
+        "target": rng.integers(0, 4, (global_batch, t)),
+    }
+
+    mesh8, state8, step8 = _setup(jax.devices()[:8])
+    out8_state, out8_m = step8(state8, shard_batch(mesh8, batch))
+
+    mesh1, state1, step1 = _setup(jax.devices()[:1])
+    out1_state, out1_m = step1(state1, shard_batch(mesh1, batch))
+
+    # same loss and same updated params regardless of sharding:
+    # GSPMD mean over the sharded batch == DDP gradient all-reduce + SyncBN
+    np.testing.assert_allclose(float(out8_m["loss"]), float(out1_m["loss"]),
+                               rtol=1e-5)
+    l8 = jax.tree.leaves(out8_state.model.params)
+    l1 = jax.tree.leaves(out1_state.model.params)
+    for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+    # BN batch stats also match → cross-replica stat sync holds
+    s8 = jax.tree.leaves(out8_state.model.batch_stats)
+    s1 = jax.tree.leaves(out1_state.model.batch_stats)
+    for a, b in zip(s8, s1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh(devices=jax.devices()[:8])
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    arr = shard_batch(mesh, {"x": x})["x"]
+    assert arr.sharding.is_equivalent_to(batch_sharding(mesh), arr.ndim)
+    np.testing.assert_array_equal(np.asarray(arr), x)
