@@ -55,6 +55,7 @@ from ..parallel.mesh import (
 from ..utils import checkpoint as ckpt
 from ..utils.logging import JsonlLogger, MetricLogger, TensorBoardWriter, log
 from ..utils.optimizer import build_optimizer, make_lr_schedule, resolve_lr
+from ..utils.profiling import ProfileSchedule, device_memory_mb
 from ..utils.train_state import ModelState, TrainState
 
 PRINT_FREQ = 20
@@ -493,6 +494,7 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
     t_epoch = time.time()
     t_last = time.time()
     data_wait = 0.0
+    profiler = ProfileSchedule(config.get("profile"))
 
     def drain(it):
         nonlocal pending
@@ -517,6 +519,7 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
 
     for it, batch in enumerate(combined_batches(loaders, spec)):
         data_wait += time.time() - t_last
+        profiler.step(epoch * steps_per_epoch + it)
         sharded = shard_batch(mesh, batch)
         state, metrics = train_step(state, sharded)
         pending.append((it, metrics))
@@ -527,11 +530,14 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
             eta = str(datetime.timedelta(
                 seconds=int(per_it * (steps_per_epoch - it - 1))
             ))
+            mem = device_memory_mb()
+            mem_part = f"  max mem: {mem:.0f}MB" if mem is not None else ""
             log(f"Epoch: [{epoch}]  [{it + 1}/{steps_per_epoch}]  "
                 f"eta: {eta}  {logger}  time: {per_it:.4f}  "
-                f"data: {data_wait / (it + 1):.4f}")
+                f"data: {data_wait / (it + 1):.4f}{mem_part}")
         t_last = time.time()
     drain(steps_per_epoch - 1)
+    profiler.close()
     log(f"Averaged stats: {logger}")
     return state, logger.stats()
 
