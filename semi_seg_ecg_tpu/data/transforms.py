@@ -24,7 +24,31 @@ from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 from scipy.interpolate import interp1d
-from scipy.signal import butter, resample as _fourier_resample, sosfiltfilt, square
+from scipy.signal import butter, resample as _scipy_resample, sosfiltfilt, square
+
+from . import native
+
+
+def _fourier_resample(x: np.ndarray, m: int, axis: int = 1) -> np.ndarray:
+    """scipy.signal.resample. scipy's pocketfft (C++, SIMD) outperforms the
+    native Bluestein fallback in native/ecgdata.cpp, so the library kernel
+    (validated bit-close in tests/test_native.py) only serves environments
+    without scipy."""
+    try:
+        return _scipy_resample(x, m, axis=axis)
+    except NameError:  # pragma: no cover - scipy always present here
+        return native.resample_fourier(x, m)
+
+
+def _label_resample(y: np.ndarray, m: int, kind: str) -> np.ndarray:
+    """interp1d(kind)(linspace(0, n-1, m)) with native acceleration."""
+    if y.ndim == 2 and kind in ("nearest", "zero"):
+        out = native.resample_labels(y, m, kind)
+        if out is not None:
+            return out
+    f = interp1d(np.arange(y.shape[1]), y, axis=1, kind=kind,
+                 fill_value="extrapolate")
+    return f(np.linspace(0, y.shape[1] - 1, m))
 
 __all__ = [
     "AdaptivePowerlineNoise",
@@ -105,9 +129,7 @@ class Resample(Transform):
     def _resample(self, x: np.ndarray, target_length: int) -> np.ndarray:
         if self.method == "fourier":
             return _fourier_resample(x, target_length, axis=1)
-        f = interp1d(np.arange(x.shape[1]), x, axis=1, kind=self.kind,
-                     fill_value="extrapolate")
-        return f(np.linspace(0, x.shape[1] - 1, target_length))
+        return _label_resample(x, target_length, self.kind)
 
     def __call__(self, x, fs=None, rng=None):  # signature differs: fs-aware
         if fs and self.target_fs and fs != self.target_fs:
@@ -136,9 +158,7 @@ class RandomResizeCrop(Transform):
 
         x_resized = _fourier_resample(x, size, axis=1)
         if y is not None:
-            f = interp1d(np.arange(sig_len), y, axis=1, kind="nearest",
-                         fill_value="extrapolate")
-            y_resized = f(np.linspace(0, sig_len - 1, size))
+            y_resized = _label_resample(y, size, "nearest")
 
         pad = self.target_length - size
         if pad > 0:
@@ -242,6 +262,10 @@ class SOSFilter(Transform):
         self.sos = butter(order, cutoff, btype=btype, fs=fs, output="sos")
 
     def _apply(self, rng, x, y=None):
+        if x.ndim == 2:
+            out = native.sosfiltfilt(self.sos, x)
+            if out is not None:
+                return out
         return np.ascontiguousarray(sosfiltfilt(self.sos, x))
 
 
@@ -262,6 +286,10 @@ class Standardize(Transform):
         self.axis = tuple(axis) if isinstance(axis, list) else axis
 
     def _apply(self, rng, x, y=None):
+        if self.axis in ((-1, -2), (-2, -1)) and x.ndim == 2:
+            out = native.standardize(x)
+            if out is not None:
+                return out
         loc = np.mean(x, axis=self.axis, keepdims=True)
         scale = np.std(x, axis=self.axis, keepdims=True)
         return np.divide(x - loc, scale, out=np.zeros_like(x),
