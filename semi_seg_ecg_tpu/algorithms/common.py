@@ -206,11 +206,23 @@ def sgd_update(tx, grads, opt_state, params):
 # ---------------------------------------------------------------------------
 
 
+def _host_shard_args(num_shards: int) -> Dict[str, int]:
+    """Each process materialises only its own slice of the data-parallel
+    shards (multi-host input sharding; single-process: the full range)."""
+    procs = jax.process_count()
+    local = num_shards // procs
+    return {
+        "shard_offset": jax.process_index() * local,
+        "local_shards": local,
+    }
+
+
 def build_train_loaders(config, mesh, spec: AlgorithmSpec,
                         unlabeled_subset_ids=None):
     ds_cfg = config["dataset"]
     seed = config["seed"]
     num_shards = data_parallel_size(mesh)
+    shard_args = _host_shard_args(num_shards)
     batch_size = config["dataloader"]["batch_size"]
     num_workers = config["dataloader"].get("num_workers", 4) or 4
 
@@ -228,6 +240,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
         loaders["unlabeled"] = get_dataloader(
             ds_unlab, mode="train", batch_size=batch_size, seed=seed,
             num_shards=num_shards, num_workers=num_workers, rng_salt=1,
+            **shard_args,
         )
         log(f"Unlabeled: {num_unlabeled} samples / "
             f"{len(loaders['unlabeled'])} batches")
@@ -236,12 +249,14 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     loaders["labeled"] = get_dataloader(
         ds_lab, mode="train", batch_size=batch_size, seed=seed,
         num_shards=num_shards, num_workers=num_workers, rng_salt=0,
+        **shard_args,
     )
     log(f"Labeled: {len(ds_lab)} samples / {len(loaders['labeled'])} batches")
     ds_valid = build_seg_dataset(ds_cfg, split="valid")
     loaders["valid"] = get_dataloader(
         ds_valid, mode="valid", batch_size=batch_size, seed=seed,
         num_shards=num_shards, num_workers=num_workers, rng_salt=2,
+        **shard_args,
     )
     if spec.uses_unlabeled:
         assert len(loaders["labeled"]) == len(loaders["unlabeled"]), \
@@ -328,6 +343,25 @@ def evaluate(
                 labels_np = np.zeros((n,) + batch["target"].shape[1:], np.int64)
             outputs[flat] = out["probs"]
             labels_np[flat] = batch["target"]
+    if jax.process_count() > 1:
+        # each host filled only its shards' rows (zeros elsewhere); values
+        # are non-negative and identical where duplicated, so an elementwise
+        # max-reduce across hosts reassembles the full arrays
+        from jax.experimental import multihost_utils
+
+        payload = {"loss": loss_ps, "inter": inter, "psum": psum,
+                   "tsum": tsum}
+        if collect_outputs:
+            payload["outputs"] = outputs
+            payload["labels"] = labels_np
+        gathered = multihost_utils.process_allgather(payload)
+        loss_ps = np.max(gathered["loss"], axis=0)
+        inter = np.max(gathered["inter"], axis=0)
+        psum = np.max(gathered["psum"], axis=0)
+        tsum = np.max(gathered["tsum"], axis=0)
+        if collect_outputs:
+            outputs = np.max(gathered["outputs"], axis=0)
+            labels_np = np.max(gathered["labels"], axis=0)
     # replay metric updates in the reference's sequential batch grouping
     if eval_batch_size is None:
         eval_batch_size = loader.batch_size
@@ -409,7 +443,11 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     if state_hook is not None:
         state = state_hook(config, model, state)
     state = ckpt.maybe_resume(config, state)
-    state = jax.device_put(state, replicated(mesh))
+    from ..parallel.sharding_rules import shard_state
+
+    # DP: everything replicated; with a model axis the TP rules shard the
+    # transformer projections (and their Adam moments / EMA / peer copies)
+    state = shard_state(mesh, state)
 
     lr_fn = make_lr_schedule(config["train"], updates_per_epoch)
     train_step = jax.jit(
@@ -579,10 +617,12 @@ def run_test(config: Dict[str, Any]) -> Dict[str, float]:
         os.makedirs(out_dir, exist_ok=True)
     mesh = make_mesh(config)
     ds_test = build_seg_dataset(config["dataset"], split="test")
+    num_shards = data_parallel_size(mesh)
     loader = get_dataloader(
         ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
-        seed=config["seed"], num_shards=data_parallel_size(mesh),
+        seed=config["seed"], num_shards=num_shards,
         num_workers=config["dataloader"].get("num_workers", 4) or 4,
+        **_host_shard_args(num_shards),
     )
     model, model_state = load_eval_model(config)
     metric_fn, _ = build_metric_fn(config["metric"])
@@ -613,10 +653,12 @@ def run_inference(config: Dict[str, Any]) -> np.ndarray:
         os.makedirs(out_dir, exist_ok=True)
     mesh = make_mesh(config)
     ds_test = build_seg_dataset(config["dataset"], split="test")
+    num_shards = data_parallel_size(mesh)
     loader = get_dataloader(
         ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
-        seed=config["seed"], num_shards=data_parallel_size(mesh),
+        seed=config["seed"], num_shards=num_shards,
         num_workers=config["dataloader"].get("num_workers", 4) or 4,
+        **_host_shard_args(num_shards),
     )
     model, model_state = load_eval_model(config)
 

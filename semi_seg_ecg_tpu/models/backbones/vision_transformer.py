@@ -281,15 +281,13 @@ class VisionTransformer1D(nn.Module):
 
 def _factory(width, depth, heads, mlp_dim):
     def make(num_leads, seq_len=2250, patch_size=75, **kwargs):
+        args = dict(width=width, depth=depth, heads=heads, mlp_dim=mlp_dim)
+        args.update(kwargs)  # explicit kwargs win over family defaults
         return VisionTransformer1D(
             seq_len=seq_len,
             patch_size=patch_size,
             num_leads=num_leads,
-            width=width,
-            depth=depth,
-            heads=heads,
-            mlp_dim=mlp_dim,
-            **kwargs,
+            **args,
         )
 
     return make
