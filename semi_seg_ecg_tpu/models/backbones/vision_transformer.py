@@ -80,7 +80,25 @@ class Attention(nn.Module):
     fp16_enabled: bool = True
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
     dtype: jnp.dtype = jnp.bfloat16
+
+    def _use_flash(self, n: int, train: bool) -> bool:
+        """'auto': Pallas blockwise kernel only where it pays — long
+        sequences on TPU, no attention dropout (the kernel never
+        materialises the (N, N) matrix the dropout mask would need)."""
+        from ...ops.pallas.flash_attention import fits_vmem
+
+        if self.attention_impl == "xla":
+            return False
+        if self.attn_dropout > 0 and train:
+            return False
+        if not fits_vmem(n, self.dim_head):
+            return False
+        if self.attention_impl == "flash":
+            return True
+        on_tpu = jax.default_backend() == "tpu"
+        return on_tpu and n >= 1024
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -106,16 +124,25 @@ class Attention(nn.Module):
 
         mm_dtype = self.dtype if self.fp16_enabled else jnp.float32
         scale = self.dim_head**-0.5
-        logits = jnp.einsum(
-            "bhnd,bhmd->bhnm", q.astype(mm_dtype), k.astype(mm_dtype),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        attn = jax.nn.softmax(logits, axis=-1)  # fp32 softmax always
-        attn = nn.Dropout(self.attn_dropout, deterministic=not train)(attn)
-        out = jnp.einsum(
-            "bhnm,bhmd->bhnd", attn.astype(mm_dtype), v.astype(mm_dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        if self._use_flash(q.shape[2], train):
+            from ...ops.pallas.flash_attention import flash_attention
+
+            interpret = jax.default_backend() != "tpu"
+            out = flash_attention(
+                q.astype(mm_dtype), k.astype(mm_dtype), v.astype(mm_dtype),
+                scale, 128, 128, interpret,
+            ).astype(self.dtype)
+        else:
+            logits = jnp.einsum(
+                "bhnd,bhmd->bhnm", q.astype(mm_dtype), k.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            attn = jax.nn.softmax(logits, axis=-1)  # fp32 softmax always
+            attn = nn.Dropout(self.attn_dropout, deterministic=not train)(attn)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", attn.astype(mm_dtype), v.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         if project_out:
@@ -135,6 +162,7 @@ class TransformerBlock(nn.Module):
     fp16_enabled: bool = True
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    attention_impl: str = "auto"
     drop_path: float = 0.0
     layer_scale: Optional[float] = None
     dtype: jnp.dtype = jnp.bfloat16
@@ -161,6 +189,7 @@ class TransformerBlock(nn.Module):
             fp16_enabled=self.fp16_enabled,
             dropout=self.dropout,
             attn_dropout=self.attn_dropout,
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
         )(x, train)
         x = DropPath(self.drop_path)(scaled(attn_out, "ls_1"), train) + x
@@ -194,6 +223,7 @@ class VisionTransformer1D(nn.Module):
     drop_path_rate: float = 0.0
     uniform_dpr: bool = False
     layer_scale: Optional[float] = None
+    attention_impl: str = "auto"
     frozen_stages: int = -1
     out_indices: Sequence[int] = (3, 5, 7, 11)
     final_norm: bool = False
@@ -262,6 +292,7 @@ class VisionTransformer1D(nn.Module):
                 fp16_enabled=self.fp16_enabled,
                 dropout=self.drop_out_rate,
                 attn_dropout=self.attn_drop_out_rate,
+                attention_impl=self.attention_impl,
                 drop_path=dpr[i],
                 layer_scale=self.layer_scale,
                 dtype=self.dtype,

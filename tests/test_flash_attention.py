@@ -1,0 +1,64 @@
+"""Pallas flash attention vs reference softmax attention (interpret mode on
+the CPU mesh; the same kernel compiles natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_seg_ecg_tpu.ops.pallas.flash_attention import (
+    _reference_attention,
+    flash_attention,
+)
+
+
+def _qkv(rng, b=2, h=3, n=100, d=64, dtype=np.float32):
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, n, d)), dtype)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("n", [100, 128, 257, 500])
+def test_flash_matches_reference(rng, n):
+    q, k, v = _qkv(rng, n=n)
+    scale = 64**-0.5
+    ours = flash_attention(q, k, v, scale, 128, 128, True)
+    ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_nontrivial_dim(rng):
+    q, k, v = _qkv(rng, b=1, h=2, n=300, d=32)
+    scale = 32**-0.5
+    ours = flash_attention(q, k, v, scale, 128, 128, True)
+    ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gradients_match_reference(rng):
+    q, k, v = _qkv(rng, b=1, h=1, n=130, d=32)
+    scale = 32**-0.5
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, 128, 128, True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, scale) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_flash_jittable(rng):
+    q, k, v = _qkv(rng, n=256)
+    scale = 64**-0.5
+    f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale, 128, 128,
+                                                True))
+    a = f(q, k, v)
+    b = f(q, k, v)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
