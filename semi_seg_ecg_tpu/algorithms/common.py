@@ -219,7 +219,17 @@ def _host_shard_args(num_shards: int) -> Dict[str, int]:
 
 def build_train_loaders(config, mesh, spec: AlgorithmSpec,
                         unlabeled_subset_ids=None):
-    ds_cfg = config["dataset"]
+    eval_cfg = ds_cfg = config["dataset"]
+    if ds_cfg.get("device_augment", False):
+        # train datasets ship the deterministic prefix only (resample +
+        # filter, cacheable); augmentation + standardize run fused on device
+        # (ops/preprocess.py). Eval keeps the standard host path.
+        ds_cfg = {
+            **ds_cfg,
+            "augmentations": None,
+            "strong_augmentations": None,
+            "transforms": [{"to_tensor": {"dtype": "float"}}],
+        }
     seed = config["seed"]
     num_shards = data_parallel_size(mesh)
     shard_args = _host_shard_args(num_shards)
@@ -252,7 +262,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
         **shard_args,
     )
     log(f"Labeled: {len(ds_lab)} samples / {len(loaders['labeled'])} batches")
-    ds_valid = build_seg_dataset(ds_cfg, split="valid")
+    ds_valid = build_seg_dataset(eval_cfg, split="valid")
     loaders["valid"] = get_dataloader(
         ds_valid, mode="valid", batch_size=batch_size, seed=seed,
         num_shards=num_shards, num_workers=num_workers, rng_salt=2,
@@ -450,10 +460,19 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     state = shard_state(mesh, state)
 
     lr_fn = make_lr_schedule(config["train"], updates_per_epoch)
-    train_step = jax.jit(
-        spec.make_train_step(model, tx, config, updates_per_epoch),
-        donate_argnums=0,
-    )
+    inner_step = spec.make_train_step(model, tx, config, updates_per_epoch)
+    if config["dataset"].get("device_augment", False):
+        from ..ops.preprocess import build_device_augment
+
+        aug_fn = build_device_augment(config["dataset"])
+        aug_seed = seed + 0x5EED
+
+        def _aug_step(state, batch, _inner=inner_step):
+            key = jax.random.fold_in(jax.random.key(aug_seed), state.step)
+            return _inner(state, aug_fn(key, batch))
+
+        inner_step = _aug_step
+    train_step = jax.jit(inner_step, donate_argnums=0)
     num_classes = config["metric"]["num_classes"]
     eval_step = make_eval_step(model, num_classes)
     metric_fn, best_metrics = build_metric_fn(config["metric"])
