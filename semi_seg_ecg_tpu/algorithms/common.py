@@ -49,7 +49,6 @@ from ..parallel.dist import init_distributed_mode, is_main_process
 from ..parallel.mesh import (
     data_parallel_size,
     make_mesh,
-    replicated,
     shard_batch,
 )
 from ..utils import checkpoint as ckpt
@@ -335,7 +334,6 @@ def evaluate(
     tsum = np.zeros((n, num_classes), np.int64)
     outputs = None
     labels_np = None
-    logger = MetricLogger()
     t0 = time.time()
     for step, batch in enumerate(loader):
         sharded = shard_batch(mesh, batch)

@@ -61,7 +61,7 @@ class FeedForward(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.output_dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(x)

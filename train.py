@@ -11,14 +11,16 @@ import sys
 
 from semi_seg_ecg_tpu.algorithms import get_algorithm
 from semi_seg_ecg_tpu.config import parse_train_args
-from semi_seg_ecg_tpu.parallel.dist import is_main_process
 
 
 def main(argv=None):
     config = parse_train_args(argv)
     algo = get_algorithm(config.get("algorithm"))
     algo.train(config)
-    if config.get("test", False) and is_main_process():
+    if config.get("test", False):
+        # unlike the reference (which collapses to one process,
+        # src/train.py:87-90), the test pass is a sharded collective — every
+        # process participates; file writes stay rank-0-only inside run_test
         algo.test(config)
 
 
