@@ -470,6 +470,11 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
             return _inner(state, aug_fn(key, batch))
 
         inner_step = _aug_step
+    if config.get("debug", {}).get("nan_checks", False):
+        # NaN localisation beyond the reference's loss-only abort
+        # (base.py:135-137): jax_debug_nans re-runs the offending op
+        # un-jitted and raises at its source. Debug mode — slow.
+        jax.config.update("jax_debug_nans", True)
     train_step = jax.jit(inner_step, donate_argnums=0)
     num_classes = config["metric"]["num_classes"]
     eval_step = make_eval_step(model, num_classes)

@@ -40,6 +40,16 @@ def synth_dataset_cfg(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def e2e_data(tmp_path_factory):
+    """Small (length-500) dataset for end-to-end algorithm runs."""
+    root = tmp_path_factory.mktemp("e2e_data")
+    return make_synthetic_dataset(
+        str(root), num_train_labeled=8, num_train_unlabeled=16,
+        num_valid=4, num_test=4, length=500, seed=3,
+    )
+
+
+@pytest.fixture(scope="session")
 def synth_dataset_cfg_varied_fs(tmp_path_factory):
     root = tmp_path_factory.mktemp("synth_data_fs")
     return make_synthetic_dataset(str(root), seed=1, varied_fs=True, length=1000)

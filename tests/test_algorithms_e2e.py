@@ -15,15 +15,6 @@ from semi_seg_ecg_tpu.config import normalize_config
 from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
 
 
-@pytest.fixture(scope="module")
-def e2e_data(tmp_path_factory):
-    root = tmp_path_factory.mktemp("e2e_data")
-    return make_synthetic_dataset(
-        str(root), num_train_labeled=8, num_train_unlabeled=16,
-        num_valid=4, num_test=4, length=500, seed=3,
-    )
-
-
 def make_config(e2e_data, tmp_path, algorithm="base", backbone="resnet18",
                 **train_overrides):
     if backbone == "resnet18":
