@@ -10,7 +10,6 @@ of which live in the shared driver; this module contributes only the pure
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from .common import (
     AlgorithmSpec,

@@ -26,7 +26,7 @@ Host-side orchestration stays sequential by nature, but there is no process
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

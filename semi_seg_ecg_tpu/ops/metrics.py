@@ -22,7 +22,7 @@ torchmetrics run at the same eval batch size.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple, Union
+from typing import Dict, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np

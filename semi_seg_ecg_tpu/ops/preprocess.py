@@ -28,7 +28,6 @@ ops fall back loudly (``build_device_augment`` raises).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
