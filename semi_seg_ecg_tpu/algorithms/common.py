@@ -476,6 +476,18 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
         # un-jitted and raises at its source. Debug mode — slow.
         jax.config.update("jax_debug_nans", True)
     train_step = jax.jit(inner_step, donate_argnums=0)
+    # device-side multi-step loop: K steps per dispatch via lax.scan —
+    # amortises host dispatch (2x measured through a high-latency link; a
+    # real win whenever the step is sub-millisecond)
+    scan_steps = int(config["train"].get("scan_steps", 1) or 1)
+    scan_step = None
+    if scan_steps > 1:
+        def _scanned(state, stacked):
+            return jax.lax.scan(
+                lambda s, b: inner_step(s, b), state, stacked
+            )
+
+        scan_step = jax.jit(_scanned, donate_argnums=0)
     num_classes = config["metric"]["num_classes"]
     eval_step = make_eval_step(model, num_classes)
     metric_fn, best_metrics = build_metric_fn(config["metric"])
@@ -493,6 +505,7 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
         state, train_stats = _train_one_epoch(
             train_step, state, loaders, spec, mesh, epoch, steps_per_epoch,
             lr_fn, accum, log_writer, config,
+            scan_step=scan_step, scan_steps=scan_steps,
         )
         valid_stats, metrics, _, _ = evaluate(
             model, state.model, loaders["valid"], metric_fn, mesh,
@@ -548,55 +561,95 @@ def _save(config, path, epoch, state: TrainState, metrics):
 
 
 def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
-                     steps_per_epoch, lr_fn, accum, log_writer, config):
+                     steps_per_epoch, lr_fn, accum, log_writer, config,
+                     scan_step=None, scan_steps=1):
+    from ..parallel.mesh import shard_stacked_batch
+
     logger = MetricLogger()
-    pending = []
+    pending = []  # (first_iter_index, device_metrics, inner_step_count)
     t_epoch = time.time()
     t_last = time.time()
     data_wait = 0.0
     profiler = ProfileSchedule(config.get("profile"))
 
-    def drain(it):
+    def drain():
         nonlocal pending
         if not pending:
             return
-        host_vals = jax.device_get([m for _, m in pending])
-        for (i, _), vals in zip(pending, host_vals):
-            scalars = {k: float(v) for k, v in vals.items()}
-            if not math.isfinite(scalars.get("loss",
-                                             scalars.get("loss_total", 0.0))):
-                log(f"Loss is {scalars}, stopping training", force=True)
-                sys.exit(1)
-            update_step = (epoch * steps_per_epoch + i) // accum
-            scalars["lr"] = float(lr_fn(update_step))
-            logger.update(**scalars)
-            if log_writer is not None and (i + 1) % accum == 0:
-                # epoch_1000x x-axis (base.py:160-172 convention)
-                epoch_1000x = int((epoch + i / steps_per_epoch) * 1000)
-                for k, v in scalars.items():
-                    log_writer.add_scalar(k, v, epoch_1000x)
+        host_vals = jax.device_get([m for _, m, _ in pending])
+        for (first, _, count), vals in zip(pending, host_vals):
+            for j in range(count):
+                i = first + j
+                scalars = {
+                    k: float(v[j]) if count > 1 else float(v)
+                    for k, v in vals.items()
+                }
+                if not math.isfinite(
+                    scalars.get("loss", scalars.get("loss_total", 0.0))
+                ):
+                    log(f"Loss is {scalars}, stopping training", force=True)
+                    sys.exit(1)
+                update_step = (epoch * steps_per_epoch + i) // accum
+                scalars["lr"] = float(lr_fn(update_step))
+                logger.update(**scalars)
+                if log_writer is not None and (i + 1) % accum == 0:
+                    # epoch_1000x x-axis (base.py:160-172 convention)
+                    epoch_1000x = int((epoch + i / steps_per_epoch) * 1000)
+                    for k, v in scalars.items():
+                        log_writer.add_scalar(k, v, epoch_1000x)
         pending = []
+
+    def progress(it):
+        dt = time.time() - t_epoch
+        per_it = dt / (it + 1)
+        eta = str(datetime.timedelta(
+            seconds=int(per_it * (steps_per_epoch - it - 1))
+        ))
+        mem = device_memory_mb()
+        mem_part = f"  max mem: {mem:.0f}MB" if mem is not None else ""
+        log(f"Epoch: [{epoch}]  [{it + 1}/{steps_per_epoch}]  "
+            f"eta: {eta}  {logger}  time: {per_it:.4f}  "
+            f"data: {data_wait / (it + 1):.4f}{mem_part}")
+
+    buffer = []
+
+    def flush_buffer(last_it):
+        nonlocal state, buffer
+        if not buffer:
+            return
+        if scan_step is not None and len(buffer) == scan_steps:
+            stacked = {
+                k: np.stack([b[k] for b in buffer])
+                for k in buffer[0]
+            }
+            state, ms = scan_step(state,
+                                  shard_stacked_batch(mesh, stacked))
+            pending.append((last_it - len(buffer) + 1, ms, len(buffer)))
+        else:  # epoch tail shorter than scan window: per-step dispatch
+            for j, b in enumerate(buffer):
+                state, m = train_step(state, shard_batch(mesh, b))
+                pending.append((last_it - len(buffer) + 1 + j, m, 1))
+        buffer = []
 
     for it, batch in enumerate(combined_batches(loaders, spec)):
         data_wait += time.time() - t_last
         profiler.step(epoch * steps_per_epoch + it)
-        sharded = shard_batch(mesh, batch)
-        state, metrics = train_step(state, sharded)
-        pending.append((it, metrics))
+        if scan_step is not None:
+            buffer.append(batch)
+            if len(buffer) == scan_steps:
+                flush_buffer(it)
+        else:
+            state, metrics = train_step(state, shard_batch(mesh, batch))
+            pending.append((it, metrics, 1))
         if (it + 1) % PRINT_FREQ == 0 or it == steps_per_epoch - 1:
-            drain(it)
-            dt = time.time() - t_epoch
-            per_it = dt / (it + 1)
-            eta = str(datetime.timedelta(
-                seconds=int(per_it * (steps_per_epoch - it - 1))
-            ))
-            mem = device_memory_mb()
-            mem_part = f"  max mem: {mem:.0f}MB" if mem is not None else ""
-            log(f"Epoch: [{epoch}]  [{it + 1}/{steps_per_epoch}]  "
-                f"eta: {eta}  {logger}  time: {per_it:.4f}  "
-                f"data: {data_wait / (it + 1):.4f}{mem_part}")
+            if it == steps_per_epoch - 1:
+                flush_buffer(it)
+            if not buffer:
+                drain()
+                progress(it)
         t_last = time.time()
-    drain(steps_per_epoch - 1)
+    flush_buffer(steps_per_epoch - 1)
+    drain()
     profiler.close()
     log(f"Averaged stats: {logger}")
     return state, logger.stats()

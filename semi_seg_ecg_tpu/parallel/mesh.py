@@ -62,6 +62,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (scan_steps, batch, ...) stacks: data axis on dim 1."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_stacked_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
+    sharding = stacked_batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
     """Place a host batch dict onto the mesh, sharded over ``data``.
 
