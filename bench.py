@@ -64,10 +64,32 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     }
     batch = jax.device_put(batch, batch_sharding(mesh))
 
-    train_step = jax.jit(make_train_step(model, tx, config, 1000),
-                         donate_argnums=0)
-    for _ in range(warmup):
-        state, metrics = train_step(state, batch)
+    # async per-step dispatch pipelines best on this stack (scan loops
+    # measured *slower* — the while-loop body loses cross-step overlap);
+    # BENCH_SCAN_STEPS>1 exercises the train.scan_steps path instead
+    scan_k = int(os.environ.get("BENCH_SCAN_STEPS", "1"))
+    inner = make_train_step(model, tx, config, 1000)
+    if scan_k > 1:
+        from semi_seg_ecg_tpu.parallel.mesh import shard_stacked_batch
+
+        stacked = {
+            k: np.broadcast_to(np.asarray(v)[None],
+                               (scan_k,) + np.asarray(v).shape).copy()
+            for k, v in jax.device_get(batch).items()
+        }
+        stacked = shard_stacked_batch(mesh, stacked)
+        train_step = jax.jit(
+            lambda s, b: jax.lax.scan(lambda c, x: inner(c, x), s, b),
+            donate_argnums=0,
+        )
+        run_batch = stacked
+    else:
+        train_step = jax.jit(inner, donate_argnums=0)
+        run_batch = batch
+    calls = max(steps // scan_k, 1)
+
+    for _ in range(max(warmup // scan_k, 2)):
+        state, metrics = train_step(state, run_batch)
     jax.block_until_ready(metrics["loss"])
 
     # best of 3 trials: remote-tunnel scheduling noise only ever slows a
@@ -75,12 +97,12 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = train_step(state, batch)
+        for _ in range(calls):
+            state, metrics = train_step(state, run_batch)
         jax.block_until_ready(metrics["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    samples_per_sec = steps * global_batch / best_dt
+    samples_per_sec = calls * scan_k * global_batch / best_dt
     per_chip = samples_per_sec / n_chips
     print(json.dumps({
         "metric": "fixmatch_resnet18_train_samples_per_sec_per_chip",
