@@ -513,13 +513,15 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
         )
         curr_loss = valid_stats["loss"]
 
+        # decide every checkpoint target first, then pull the state host-side
+        # ONCE — device→host of params+optimizer is the expensive part
+        save_paths = []
         if out_dir and (epoch + 1) in snapshot_epochs:
-            _save(config, os.path.join(out_dir, f"checkpoint-{epoch + 1}.ckpt"),
-                  epoch, state, {"loss": curr_loss, **metrics})
+            save_paths.append(os.path.join(out_dir,
+                                           f"checkpoint-{epoch + 1}.ckpt"))
         if out_dir and curr_loss < best_loss:
             best_loss = curr_loss
-            _save(config, os.path.join(out_dir, "best-loss.ckpt"), epoch,
-                  state, {"loss": curr_loss, **metrics})
+            save_paths.append(os.path.join(out_dir, "best-loss.ckpt"))
         for metric_name, metric_obj in metric_fn.items():
             if metric_obj.per_class:
                 continue
@@ -529,10 +531,14 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
                 metric_obj, best_metrics[metric_name], curr
             ):
                 best_metrics[metric_name] = curr
-                _save(config,
-                      os.path.join(out_dir, f"best-{metric_name}.ckpt"),
-                      epoch, state, {"loss": curr_loss, **metrics})
+                save_paths.append(
+                    os.path.join(out_dir, f"best-{metric_name}.ckpt"))
             log(f"Best {metric_name}: {best_metrics[metric_name]:.3f}")
+        if save_paths:
+            host_state = jax.device_get(state)
+            for path in save_paths:
+                _save(config, path, epoch, host_state,
+                      {"loss": curr_loss, **metrics})
 
         if log_writer is not None:
             log_writer.add_scalar("perf/valid_loss", curr_loss, epoch)
