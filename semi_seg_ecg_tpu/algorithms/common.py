@@ -552,6 +552,7 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
             "epoch": epoch,
         })
 
+    ckpt.wait_for_pending()
     total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
     log(f"Training time {total}")
     if log_writer is not None:
@@ -563,6 +564,7 @@ def _save(config, path, epoch, state: TrainState, metrics):
         path, epoch, state.model, opt_state=state.opt_state, config=config,
         metrics=metrics, ema_state=state.ema, peer_state=state.peer,
         peer_opt_state=state.peer_opt_state, step=int(state.step),
+        async_write=bool(config.get("async_checkpoint", True)),
     )
 
 

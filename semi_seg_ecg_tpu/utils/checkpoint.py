@@ -16,8 +16,10 @@ initialised treedef on load — robust to optax's internal class names.
 
 from __future__ import annotations
 
+import atexit
 import os
 import pickle
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,6 +27,18 @@ import numpy as np
 
 from ..parallel.dist import is_main_process
 from .logging import log
+
+_PENDING: list = []
+
+
+def wait_for_pending() -> None:
+    """Join outstanding async checkpoint writes (call before reading the
+    files back, e.g. post-train test)."""
+    while _PENDING:
+        _PENDING.pop().join()
+
+
+atexit.register(wait_for_pending)
 
 
 def _to_host(tree):
@@ -42,6 +56,7 @@ def save_checkpoint(
     peer_state=None,
     peer_opt_state=None,
     step: Optional[int] = None,
+    async_write: bool = False,
 ) -> None:
     if not is_main_process():
         return
@@ -70,10 +85,21 @@ def save_checkpoint(
         }
         if peer_opt_state is not None:
             payload["peer_optimizer"] = jax.tree.leaves(_to_host(peer_opt_state))
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, path)  # atomic: no torn checkpoints on preemption
+    def write():
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)  # atomic: no torn checkpoints on preemption
+
+    if async_write:
+        # the device→host fetch above already snapshotted every array, so
+        # the disk write can overlap the next epoch (TPU-friendly async
+        # checkpointing; join via wait_for_pending())
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        _PENDING.append(t)
+    else:
+        write()
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
