@@ -54,6 +54,25 @@ def test_flash_gradients_match_reference(rng):
                                    atol=2e-4, rtol=2e-4)
 
 
+def test_attention_impl_flash_through_model(rng):
+    """attention_impl='flash' flows from backbone kwargs into the ViT and
+    produces the same features as the XLA path (CPU: interpret mode)."""
+    from semi_seg_ecg_tpu.models.backbones.vision_transformer import vit_tiny
+
+    x = jnp.asarray(rng.standard_normal((2, 500, 1)), jnp.float32)
+    outs = {}
+    for impl in ("xla", "flash"):
+        model = vit_tiny(num_leads=1, seq_len=500, patch_size=25,
+                         attention_impl=impl, dtype=jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=False,
+        )
+        outs[impl] = np.asarray(model.apply(variables, x, train=False)[-1])
+    np.testing.assert_allclose(outs["flash"], outs["xla"], atol=2e-4,
+                               rtol=2e-4)
+
+
 def test_flash_jittable(rng):
     q, k, v = _qkv(rng, n=256)
     scale = 64**-0.5
