@@ -225,7 +225,14 @@ def main() -> None:
             }
             write(
                 os.path.join(ROOT, "bench", key, f"1over{ratio}.yaml"), cfg,
-                f"# bench override: {tag} at 1/{ratio} labels\n",
+                f"# semi_seg_ecg_tpu bench override: {tag} at 1/{ratio}"
+                " labels.\n"
+                "# Deep-merged on top of a configs/base/* file via"
+                " `-o`; only the experiment\n"
+                "# name and dataset locations change — recipe"
+                " hyperparameters stay in base.\n"
+                "# Expected tree: {ecg,label}/ pkl records + index/ CSVs"
+                " (tools/prepare_data.py).\n",
             )
     merged = {
         "exp_name": "cross_domain/merged",
