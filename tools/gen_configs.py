@@ -205,9 +205,18 @@ def main() -> None:
             cfg = base_config(backbone, algo)
             write(
                 os.path.join(ROOT, "base", backbone, f"{algo}.yaml"), cfg,
-                f"# semi_seg_ecg_tpu base config: {backbone} / {algo}\n"
+                f"# semi_seg_ecg_tpu base config: {backbone} / {algo}.\n"
                 "# Fill the <FILL IN> dataset paths or merge a bench"
-                " override (-o configs/bench/...).\n",
+                " override (-o configs/bench/...).\n"
+                "# TPU notes: `device: tpu` + `precision: bf16` replace the"
+                " reference's cuda/AMP\n"
+                "# pair (use_amp is still accepted); `parallel` sizes the"
+                " device mesh (data axis\n"
+                "# = remaining chips); add `dataset.device_augment: true`"
+                " to fuse augmentation\n"
+                "# into the jitted train step, and `train.scan_steps: K`"
+                " for multi-step dispatch.\n"
+                "# Regenerate this grid with tools/gen_configs.py.\n",
             )
     for key, (tag, d) in BENCH.items():
         for ratio in (2, 4, 8, 16):
