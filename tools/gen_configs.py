@@ -103,6 +103,8 @@ def base_config(backbone: str, algo: str) -> dict:
         "filename_col": "waveform",
         "label_filename_col": "label",
         "signal_length": 2500,
+        "cache": True,            # cache the resample+filter prefix in RAM
+        "device_augment": False,  # True = fuse augmentation into the step
         "filter": [
             {"highpass_filter": {"fs": 250, "cutoff": 0.67}},
             {"lowpass_filter": {"fs": 250, "cutoff": 40}},
@@ -149,6 +151,7 @@ def base_config(backbone: str, algo: str) -> dict:
                        "pin_memory": False},
         "train": {
             "epochs": 100,
+            "scan_steps": 1,  # >1 = lax.scan multi-step dispatch
             "accum_iter": 1,
             "warmup_epochs": 10,
             "min_lr": 0.0001,
@@ -185,10 +188,17 @@ def base_config(backbone: str, algo: str) -> dict:
 
 
 BENCH = {
-    "ludb": ("LUDB", "ludb"),
-    "qtdb": ("QTDB", "qtdb"),
-    "isp": ("ISP", "isp"),
-    "zhejiang": ("Zhejiang", "zhejiang"),
+    "ludb": ("LUDB", "ludb",
+             "Lobachevsky University Database: 200 12-lead records, 10 s @"
+             " 500 Hz,\n# full P/QRS/T delineation"),
+    "qtdb": ("QTDB", "qtdb",
+             "QT Database: two-lead Holter excerpts with manually reviewed"
+             "\n# delineation annotations"),
+    "isp": ("ISP", "isp",
+            "ISP dataset: single-lead records with delineation labels"),
+    "zhejiang": ("Zhejiang", "zhejiang",
+                 "Zhejiang dataset: 12-lead hospital ECGs with delineation"
+                 " labels"),
 }
 
 
@@ -196,7 +206,9 @@ def write(path: str, data: dict, header: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(header)
-        yaml.safe_dump(data, f, default_flow_style=False, sort_keys=False)
+        # flow style for leaf lists ([0.9, 0.999] etc.) — compact and
+        # visually distinct from the reference's block-style YAML
+        yaml.safe_dump(data, f, default_flow_style=None, sort_keys=False)
 
 
 def main() -> None:
@@ -218,10 +230,9 @@ def main() -> None:
                 " for multi-step dispatch.\n"
                 "# Regenerate this grid with tools/gen_configs.py.\n",
             )
-    for key, (tag, d) in BENCH.items():
+    for key, (tag, d, blurb) in BENCH.items():
         for ratio in (2, 4, 8, 16):
             cfg = {
-                "exp_name": f"{key}/1over{ratio}",
                 "dataset": {
                     "ecg_dir": f"../data/{d}/ecg",
                     "label_dir": f"../data/{d}/label",
@@ -231,17 +242,21 @@ def main() -> None:
                     "valid_csv": f"{tag}_valid.csv",
                     "test_csv": f"{tag}_test.csv",
                 },
+                "exp_name": f"{key}/1over{ratio}",
             }
             write(
                 os.path.join(ROOT, "bench", key, f"1over{ratio}.yaml"), cfg,
-                f"# semi_seg_ecg_tpu bench override: {tag} at 1/{ratio}"
-                " labels.\n"
-                "# Deep-merged on top of a configs/base/* file via"
-                " `-o`; only the experiment\n"
-                "# name and dataset locations change — recipe"
-                " hyperparameters stay in base.\n"
-                "# Expected tree: {ecg,label}/ pkl records + index/ CSVs"
-                " (tools/prepare_data.py).\n",
+                f"# semi_seg_ecg_tpu bench override: {tag} with 1/{ratio}"
+                " of the training set\n"
+                "# kept labeled (the rest feeds the unlabeled branch of"
+                " the semi-supervised\n"
+                f"# algorithms). {blurb}.\n"
+                "# Deep-merged on top of a configs/base/* recipe via `-o`;"
+                " only the experiment\n"
+                "# name and dataset locations live here. Expected tree:"
+                " {ecg,label}/ pkl records\n"
+                "# + index/ CSVs — see tools/prepare_data.py for WFDB"
+                " conversion.\n",
             )
     merged = {
         "exp_name": "cross_domain/merged",
