@@ -743,6 +743,10 @@ def run_inference(config: Dict[str, Any]) -> np.ndarray:
         num_workers=config["dataloader"].get("num_workers", 4) or 4,
         **_host_shard_args(num_shards),
     )
+    # inference defaults to full precision unless test.use_amp is set
+    # (reference inference.py:110)
+    if not config.get("test", {}).get("use_amp", False):
+        config = {**config, "precision": "fp32"}
     model, model_state = load_eval_model(config)
 
     @jax.jit

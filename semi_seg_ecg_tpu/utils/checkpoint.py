@@ -155,6 +155,12 @@ def maybe_resume(config: Dict[str, Any], state, build_opt_template=None):
     resume = config.get("resume")
     if not resume:
         return state
+    if str(resume).startswith(("http://", "https://")):
+        raise NotImplementedError(
+            "URL resume (torch.hub-style, reference misc.py:307-309) is not "
+            "supported in this zero-egress build; download the checkpoint "
+            "and pass a local path"
+        )
     payload = load_checkpoint(resume)
     state = state.replace(
         model=restore_model_state(payload["model"], state.model)
