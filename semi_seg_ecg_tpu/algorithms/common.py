@@ -565,6 +565,7 @@ def _save(config, path, epoch, state: TrainState, metrics):
         metrics=metrics, ema_state=state.ema, peer_state=state.peer,
         peer_opt_state=state.peer_opt_state, step=int(state.step),
         async_write=bool(config.get("async_checkpoint", True)),
+        backend=config.get("checkpoint_backend", "pickle"),
     )
 
 
