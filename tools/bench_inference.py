@@ -1,0 +1,52 @@
+"""Inference (serving) throughput benchmark.
+
+Times the jitted eval-mode forward + softmax of the flagship segmentor
+(ResNet18-1D + FCN head, length 2500) across batch sizes on the available
+device. Run: ``python tools/bench_inference.py``.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from semi_seg_ecg_tpu.algorithms.common import init_model_state
+    from semi_seg_ecg_tpu.models import build_model_from_config
+
+    config = _flagship_config()
+    model = build_model_from_config(config, train=False)
+    state = init_model_state(model, config, 0)
+
+    @jax.jit
+    def infer(params, batch_stats, x):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False)
+        return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
+
+    rng = np.random.default_rng(0)
+    for batch in (16, 64, 256):
+        x = jnp.asarray(rng.standard_normal((batch, 1, 2500)), jnp.float32)
+        jax.block_until_ready(infer(state.params, state.batch_stats, x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(50):
+                out = infer(state.params, state.batch_stats, x)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        sps = 50 * batch / best
+        print(f"batch {batch:4d}: {best / 50 * 1000:7.2f} ms/batch "
+              f"{sps:10.0f} samples/sec")
+
+
+if __name__ == "__main__":
+    main()
