@@ -97,6 +97,14 @@ def select_reliable(
             mious.append(calculate_miou(np.asarray(inter), np.asarray(psum),
                                         np.asarray(tsum)))
         reliability[flat] = np.mean(mious, axis=0)
+    if jax.process_count() > 1:
+        # each host ranked its own shards; reassemble (values are
+        # non-negative and identical where wraparound-duplicated)
+        from jax.experimental import multihost_utils
+
+        reliability = np.max(
+            multihost_utils.process_allgather(reliability), axis=0
+        )
     order = np.argsort(-reliability, kind="stable")
     half = len(order) // 2
     return order[:half].tolist(), order[half:].tolist()
@@ -108,10 +116,14 @@ def prepare_semisup(config) -> List[int]:
     mesh = make_mesh(config)
     ds = build_seg_dataset(config["dataset"], split="train_unlabeled",
                            mode="eval")
+    from .common import _host_shard_args
+
+    num_shards = data_parallel_size(mesh)
     loader = get_dataloader(
         ds, mode="eval", batch_size=config["dataloader"]["batch_size"],
-        seed=config["seed"], num_shards=data_parallel_size(mesh),
+        seed=config["seed"], num_shards=num_shards,
         num_workers=config["dataloader"].get("num_workers", 4) or 4,
+        **_host_shard_args(num_shards),
     )
     model = build_model_from_config(config, train=False)
     template = init_model_state(model, config, config["seed"])
