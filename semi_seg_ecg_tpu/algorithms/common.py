@@ -234,6 +234,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     shard_args = _host_shard_args(num_shards)
     batch_size = config["dataloader"]["batch_size"]
     num_workers = config["dataloader"].get("num_workers", 4) or 4
+    drop_last = config["dataloader"].get("drop_last", None)
 
     loaders: Dict[str, Any] = {}
     if spec.uses_unlabeled:
@@ -249,7 +250,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
         loaders["unlabeled"] = get_dataloader(
             ds_unlab, mode="train", batch_size=batch_size, seed=seed,
             num_shards=num_shards, num_workers=num_workers, rng_salt=1,
-            **shard_args,
+            drop_last=drop_last, **shard_args,
         )
         log(f"Unlabeled: {num_unlabeled} samples / "
             f"{len(loaders['unlabeled'])} batches")
@@ -258,7 +259,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     loaders["labeled"] = get_dataloader(
         ds_lab, mode="train", batch_size=batch_size, seed=seed,
         num_shards=num_shards, num_workers=num_workers, rng_salt=0,
-        **shard_args,
+        drop_last=drop_last, **shard_args,
     )
     log(f"Labeled: {len(ds_lab)} samples / {len(loaders['labeled'])} batches")
     ds_valid = build_seg_dataset(eval_cfg, split="valid")
