@@ -1,0 +1,84 @@
+"""Semi-supervised efficacy validation on synthetic data.
+
+Trains each requested algorithm on a low-label synthetic split (8 labeled /
+96 unlabeled records) and reports test MeanIoU, demonstrating that every
+semi-supervised objective improves over supervised-only (results recorded
+in BASELINE.md / NOTES.md).
+
+Run: ``python tools/validate_ssl.py [--algorithms base fixmatch ...]``
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tempfile, os, json
+from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
+from semi_seg_ecg_tpu.algorithms import get_algorithm
+from semi_seg_ecg_tpu.config import normalize_config
+
+root = tempfile.mkdtemp(prefix="ssl_validate_")
+data = make_synthetic_dataset(root, num_train_labeled=8, num_train_unlabeled=96,
+                              num_valid=16, num_test=32, length=2500, seed=11)
+
+def cfg(algo, exp):
+    d = {
+        "seed": 0, "output_dir": os.path.join(root, "exps"), "exp_name": exp,
+        "resume": None, "start_epoch": 0, "device": None, "use_amp": True,
+        "algorithm": algo, "mode": "scratch", "pretrained_backbone": None,
+        "backbone": {"resnet18": {"num_leads": 1, "num_stages": 4,
+            "out_indices": [0,1,2,3], "dilations": [1,1,1,1], "strides": [1,2,2,2],
+            "deep_stem": False, "avg_down": False, "contract_dilation": False}},
+        "decode_head": {"FCNHead": {"in_channels": 512, "in_index": 3,
+            "channels": 128, "num_convs": 1, "concat_input": False,
+            "dropout_ratio": 0.1, "num_classes": 4, "align_corners": False}},
+        "dataset": {**data,
+            "filter": [{"highpass_filter": {"fs": 250, "cutoff": 0.67}},
+                       {"lowpass_filter": {"fs": 250, "cutoff": 40}}],
+            "augmentations": [{"random_resize_crop": {"target_length": 2500,
+                               "scale_min": 0.5, "scale_max": 2.0}}],
+            "strong_augmentations": [{"RandAugment": {"ops": [
+                {"AmplitudeScaling": {"sigma": 0.5}},
+                {"AdaptivePowerlineNoise": {"fs": 250}},
+                {"RandomPartialWhiteNoise": {"amplitude": 1, "ratio": 0.5}},
+                {"RandomPartialSineNoise": {"amplitude": 1, "ratio": 0.5}},
+            ], "level": 10, "num_layers": 3, "prob": 0.5}}],
+            "transforms": [{"standardize": {"axis": [-1,-2]}},
+                           {"to_tensor": {"dtype": "float"}}]},
+        "dataloader": {"batch_size": 4, "num_workers": 8, "pin_memory": False},
+        "train": {"epochs": args.epochs, "accum_iter": 1, "warmup_epochs": 3,
+            "min_lr": 1e-4, "blr": None, "lr": 1e-3, "weight_decay": 0.05,
+            "max_norm": None, "layer_decay": None, "optimizer": "adamw",
+            "optimizer_kwargs": {"betas": [0.9, 0.999]},
+            "conf_thresh": 0.80, "ema_decay": 0.99},
+        "metric": {"task": "segmentation", "num_classes": 4,
+            "include_background": True, "per_class": False,
+            "input_format": "one-hot", "target_metrics": ["MeanIoU"]},
+        "test": {"target_metric": "MeanIoU"},
+    }
+    if algo == "reco":
+        d["use_latent_projection"] = True
+        d["projection_in_dim"] = 512
+        d["projection_out_dim"] = 128
+        d["train"].update(eash_conf_thresh=0.65, hard_conf_thresh=0.80,
+                          contr_temp=0.25, contr_num_queries=64,
+                          contr_num_negatives=128)
+    return normalize_config(d)
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--algorithms", nargs="+",
+                default=["base", "fixmatch", "mean_teacher", "cps", "reco",
+                         "stpp"])
+ap.add_argument("--epochs", type=int, default=25)
+args = ap.parse_args()
+
+results = {}
+for algo in args.algorithms:
+    c = cfg(algo, f"ssl_{algo}")
+    get_algorithm(algo).train(c)
+    m = get_algorithm(algo).test(c)
+    results[algo] = m["MeanIoU"]
+    print("RESULT", algo, m)
+print(json.dumps(results))
