@@ -16,3 +16,12 @@ instead of AMP + GradScaler.
 """
 
 __version__ = "0.1.0"
+
+from .algorithms import ALGORITHMS, get_algorithm  # noqa: E402,F401
+from .config import (  # noqa: E402,F401
+    load_config,
+    normalize_config,
+    parse_eval_args,
+    parse_train_args,
+)
+from .models import BACKBONES, DECODE_HEADS, build_model_from_config  # noqa: E402,F401
