@@ -40,7 +40,7 @@ def test_shipped_base_config_builds(path):
 
 def test_shipped_grid_is_complete():
     assert len(BASE_CONFIGS) == 12    # 2 backbones × 6 algorithms
-    assert len(BENCH_CONFIGS) == 17   # 4 datasets × 4 ratios + merged
+    assert len(BENCH_CONFIGS) == 21   # (4+PTB-XL) datasets × 4 ratios + merged
 
 
 @pytest.mark.parametrize("base", BASE_CONFIGS[:1])

@@ -199,6 +199,11 @@ BENCH = {
     "zhejiang": ("Zhejiang", "zhejiang",
                  "Zhejiang dataset: 12-lead hospital ECGs with delineation"
                  " labels"),
+    # beyond the reference's shipped grid: the paper's fifth in-domain
+    # dataset (README.md:46-52 lists PTB-XL; no configs ship for it)
+    "ptbxl": ("PTBXL", "ptbxl",
+              "PTB-XL: large 12-lead clinical ECG corpus (delineation"
+              " subset)"),
 }
 
 
