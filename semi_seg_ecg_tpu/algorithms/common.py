@@ -274,6 +274,22 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     return loaders
 
 
+def device_prefetch(iterator, mesh, depth: int = 2):
+    """Issue async host→device transfers ``depth`` batches ahead so input
+    upload overlaps the running step (device_put is non-blocking; this just
+    front-runs it — the torch analogue is pin_memory+non_blocking H2D,
+    semi_dataset.py/base.py:119-120)."""
+    from collections import deque
+
+    q = deque()
+    for batch in iterator:
+        q.append(shard_batch(mesh, batch))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def combined_batches(loaders, spec: AlgorithmSpec):
     """Yield merged step dicts: labeled ``ecg``/``target`` + unlabeled
     weak/strong views (``ecg_u_w``/``ecg_u_s``)."""
@@ -641,7 +657,11 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
                 pending.append((last_it - len(buffer) + 1 + j, m, 1))
         buffer = []
 
-    for it, batch in enumerate(combined_batches(loaders, spec)):
+    if scan_step is not None:
+        batch_iter = combined_batches(loaders, spec)  # host batches (stacked later)
+    else:
+        batch_iter = device_prefetch(combined_batches(loaders, spec), mesh)
+    for it, batch in enumerate(batch_iter):
         data_wait += time.time() - t_last
         profiler.step(epoch * steps_per_epoch + it)
         if scan_step is not None:
@@ -649,7 +669,7 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
             if len(buffer) == scan_steps:
                 flush_buffer(it)
         else:
-            state, metrics = train_step(state, shard_batch(mesh, batch))
+            state, metrics = train_step(state, batch)
             pending.append((it, metrics, 1))
         if (it + 1) % PRINT_FREQ == 0 or it == steps_per_epoch - 1:
             if it == steps_per_epoch - 1:
