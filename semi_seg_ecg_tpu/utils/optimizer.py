@@ -132,6 +132,12 @@ def get_optimizer_from_config(
         chain.append(optax.clip_by_global_norm(max_norm))
 
     if opt_name == "sgd":
+        # torch.optim.SGD couples weight decay INTO the gradient before the
+        # momentum buffer (unlike AdamW's decoupled decay): buf = m·buf +
+        # (g + wd·p); update = -lr·buf
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay,
+                                                   mask=wd_mask))
         momentum = kwargs.get("momentum", 0)
         if momentum:
             chain.append(optax.trace(decay=momentum))
@@ -140,14 +146,14 @@ def get_optimizer_from_config(
         b1, b2 = tuple(betas)
         eps = kwargs.get("eps", 1e-8)
         chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        if weight_decay:
+            # decoupled decay scaled by the effective lr, matching torch
+            # AdamW; reference default (no layer_decay) applies wd to ALL
+            # params (single torch param group, base.py:339-341)
+            chain.append(optax.add_decayed_weights(weight_decay,
+                                                   mask=wd_mask))
     else:
         raise ValueError(f"Unknown optimizer: {opt_name}")
-
-    if weight_decay:
-        # reference default (no layer_decay): wd on ALL params, matching a
-        # single torch param group (base.py:339-341); masks only appear via
-        # layer-decay's no-decay grouping
-        chain.append(optax.add_decayed_weights(weight_decay, mask=wd_mask))
     if lr_scales is not None:
         chain.append(scale_by_lr_tree(lr_scales))
     if frozen_mask is not None:

@@ -96,13 +96,15 @@ def test_adamw_matches_torch_step(rng):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_sgd_momentum_matches_torch(rng):
+@pytest.mark.parametrize("momentum,wd", [(0.9, 0.0), (0.9, 0.05), (0.0, 0.05)])
+def test_sgd_matches_torch(rng, momentum, wd):
+    # torch SGD couples weight decay into the gradient BEFORE momentum
     torch = pytest.importorskip("torch")
     w0 = rng.standard_normal((5,)).astype(np.float32)
     g = rng.standard_normal((5,)).astype(np.float32)
     cfg = {"epochs": 1, "warmup_epochs": 0, "lr": 0.1, "min_lr": 0.1,
-           "weight_decay": 0.0, "optimizer": "sgd",
-           "optimizer_kwargs": {"momentum": 0.9}}
+           "weight_decay": wd, "optimizer": "sgd",
+           "optimizer_kwargs": {"momentum": momentum}}
     tx = get_optimizer_from_config(cfg, steps_per_epoch=1)
     params = {"w": jnp.asarray(w0)}
     opt_state = tx.init(params)
@@ -110,7 +112,7 @@ def test_sgd_momentum_matches_torch(rng):
         updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
         params = optax.apply_updates(params, updates)
     wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
-    topt = torch.optim.SGD([wt], lr=0.1, momentum=0.9)
+    topt = torch.optim.SGD([wt], lr=0.1, momentum=momentum, weight_decay=wd)
     for _ in range(3):
         topt.zero_grad()
         wt.grad = torch.from_numpy(g.copy())
