@@ -82,6 +82,10 @@ def sosfiltfilt(sos: np.ndarray, x: np.ndarray) -> Optional[np.ndarray]:
         return None
     sos = np.ascontiguousarray(sos, dtype=np.float64)
     x = np.ascontiguousarray(x, dtype=np.float64)
+    # scipy's default padlen; shorter signals go to scipy (which raises the
+    # proper "padlen too large" error instead of reading out of bounds)
+    if x.shape[-1] <= 3 * (2 * sos.shape[0] + 1):
+        return None
     out = np.empty_like(x)
     for row_in, row_out in zip(x.reshape(-1, x.shape[-1]),
                                out.reshape(-1, x.shape[-1])):
