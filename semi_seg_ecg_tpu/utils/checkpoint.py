@@ -28,14 +28,42 @@ import numpy as np
 from ..parallel.dist import is_main_process
 from .logging import log
 
-_PENDING: list = []
+# Async writes go through ONE ordered writer thread: concurrent writes to
+# the same path (best-loss.ckpt improving on consecutive epochs) must not
+# race each other's tmp files, and the LAST enqueued write must win.
+_QUEUE: "queue.Queue" = None  # type: ignore[assignment]
+_WORKER: threading.Thread = None  # type: ignore[assignment]
+
+
+def _ensure_worker():
+    global _QUEUE, _WORKER
+    import queue
+
+    if _WORKER is not None and _WORKER.is_alive():
+        return
+    _QUEUE = queue.Queue()
+
+    def loop():
+        while True:
+            fn = _QUEUE.get()
+            try:
+                if fn is not None:
+                    fn()
+            except Exception as e:  # pragma: no cover - logged, not fatal
+                log(f"async checkpoint write failed: {e!r}", force=True)
+            finally:
+                _QUEUE.task_done()
+
+    _WORKER = threading.Thread(target=loop, daemon=True,
+                               name="ckpt-writer")
+    _WORKER.start()
 
 
 def wait_for_pending() -> None:
-    """Join outstanding async checkpoint writes (call before reading the
-    files back, e.g. post-train test)."""
-    while _PENDING:
-        _PENDING.pop().join()
+    """Block until every queued async checkpoint write has hit disk (call
+    before reading the files back, e.g. post-train test)."""
+    if _QUEUE is not None:
+        _QUEUE.join()
 
 
 atexit.register(wait_for_pending)
@@ -99,9 +127,8 @@ def save_checkpoint(
         # the device→host fetch above already snapshotted every array, so
         # the disk write can overlap the next epoch (TPU-friendly async
         # checkpointing; join via wait_for_pending())
-        t = threading.Thread(target=write, daemon=True)
-        t.start()
-        _PENDING.append(t)
+        _ensure_worker()
+        _QUEUE.put(write)
     else:
         write()
 
