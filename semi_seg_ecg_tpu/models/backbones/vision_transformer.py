@@ -125,7 +125,11 @@ class Attention(nn.Module):
         mm_dtype = self.dtype if self.fp16_enabled else jnp.float32
         scale = self.dim_head**-0.5
         if self._use_flash(q.shape[2], train):
-            from ...ops.pallas.flash_attention import flash_attention
+            # mesh-aware: shards the kernel over (data, model) so TP runs
+            # head-parallel with zero collectives around the pallas_call
+            from ...ops.pallas.flash_attention import (
+                sharded_flash_attention as flash_attention,
+            )
 
             interpret = jax.default_backend() != "tpu"
             out = flash_attention(

@@ -285,3 +285,41 @@ def _bwd(scale, block_q, block_k, interpret, residuals, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+def sharded_flash_attention(q, k, v, scale: float,
+                            block_q: int = DEFAULT_BLOCK_Q,
+                            block_k: int = DEFAULT_BLOCK_K,
+                            interpret: bool = False):
+    """Mesh-aware flash attention: shard the kernel over the training mesh.
+
+    ``pallas_call`` has no GSPMD partitioning rule, so inside a jitted
+    step over a multi-device mesh the bare kernel would be computed fully
+    replicated (XLA all-gathers q/k/v around it). The kernel is
+    embarrassingly parallel over (batch, head), so we wrap it in
+    ``shard_map`` with batch on the ``data`` axis and heads on the
+    ``model`` axis — each shard runs the kernel on its local
+    (batch, head) slice with zero collectives, which is exactly the
+    Megatron-style head-parallel layout the TP rules already give the QKV
+    projection (parallel/sharding_rules.py). Falls back to the bare kernel
+    when no training mesh exists or shapes don't divide the mesh.
+    """
+    from ...parallel.mesh import DATA_AXIS, MODEL_AXIS, get_current_mesh
+
+    mesh = get_current_mesh()
+    b, h, _, _ = q.shape
+    if mesh is None or mesh.size == 1:
+        return flash_attention(q, k, v, scale, block_q, block_k, interpret)
+    dp, tp = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+    if b % dp != 0 or h % tp != 0:
+        return flash_attention(q, k, v, scale, block_q, block_k, interpret)
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+
+    def inner(qs, ks, vs):  # custom_vjp: positional args only
+        return flash_attention(qs, ks, vs, scale, block_q, block_k, interpret)
+
+    return jax.shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)(q, k, v)

@@ -27,6 +27,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# the most recently built training mesh; mesh-aware ops (e.g. the Pallas
+# flash-attention shard_map wrapper) consult it because pallas_call has no
+# GSPMD partitioning rule and would otherwise be computed fully replicated
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def get_current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
 
 def make_mesh(
     config: Optional[Dict[str, Any]] = None,
@@ -46,7 +60,9 @@ def make_mesh(
     n = len(devices)
     assert n % model == 0, f"{n} devices not divisible by model_parallel={model}"
     dev_array = np.asarray(devices).reshape(n // model, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    set_current_mesh(mesh)
+    return mesh
 
 
 def data_parallel_size(mesh: Mesh) -> int:

@@ -73,6 +73,98 @@ def test_attention_impl_flash_through_model(rng):
                                rtol=2e-4)
 
 
+@pytest.fixture()
+def dp_tp_mesh():
+    """(data=2, model=4) mesh registered as the current training mesh."""
+    from jax.sharding import Mesh
+
+    from semi_seg_ecg_tpu.parallel import mesh as mesh_mod
+
+    prev = mesh_mod.get_current_mesh()
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                (mesh_mod.DATA_AXIS, mesh_mod.MODEL_AXIS))
+    mesh_mod.set_current_mesh(mesh)
+    yield mesh
+    mesh_mod.set_current_mesh(prev)
+
+
+def test_sharded_flash_matches_reference(rng, dp_tp_mesh):
+    """shard_map wrapper: batch on data, heads on model, no collectives —
+    forward and gradients must match the unsharded reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semi_seg_ecg_tpu.ops.pallas.flash_attention import (
+        sharded_flash_attention,
+    )
+
+    q, k, v = _qkv(rng, b=4, h=8, n=256, d=32)
+    scale = 32**-0.5
+    spec = NamedSharding(dp_tp_mesh, P("data", "model", None, None))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+
+    fn = jax.jit(lambda q, k, v: sharded_flash_attention(q, k, v, scale,
+                                                         128, 128, True))
+    out = fn(qs, ks, vs)
+    ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            sharded_flash_attention(q, k, v, scale, 128, 128, True) ** 2
+        )
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(_reference_attention(q, k, v, scale) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_sharded_flash_falls_back_on_indivisible_shapes(rng, dp_tp_mesh):
+    """heads not divisible by model axis → bare-kernel fallback, still
+    correct."""
+    from semi_seg_ecg_tpu.ops.pallas.flash_attention import (
+        sharded_flash_attention,
+    )
+
+    q, k, v = _qkv(rng, b=2, h=3, n=130, d=32)
+    scale = 32**-0.5
+    out = sharded_flash_attention(q, k, v, scale, 128, 128, True)
+    ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_flash_through_vit_on_tp_mesh(rng, dp_tp_mesh):
+    """attention_impl='flash' inside a TP-sharded ViT forward: the kernel
+    runs head-parallel under shard_map and matches the XLA attention path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semi_seg_ecg_tpu.models.backbones.vision_transformer import vit_tiny
+    from semi_seg_ecg_tpu.parallel.sharding_rules import shard_state
+
+    x = jnp.asarray(rng.standard_normal((4, 512, 1)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(dp_tp_mesh, P("data")))
+    outs = {}
+    for impl in ("xla", "flash"):
+        # heads=4 so the model axis (4) divides the head count
+        model = vit_tiny(num_leads=1, seq_len=512, patch_size=16, heads=4,
+                         dim_head=48, attention_impl=impl, dtype=jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=False,
+        )
+        variables = shard_state(dp_tp_mesh, variables)
+        fwd = jax.jit(lambda v, x, m=model: m.apply(v, x, train=False)[-1])
+        outs[impl] = np.asarray(fwd(variables, xs))
+    np.testing.assert_allclose(outs["flash"], outs["xla"], atol=2e-4,
+                               rtol=2e-4)
+
+
 def test_flash_jittable(rng):
     q, k, v = _qkv(rng, n=256)
     scale = 64**-0.5
