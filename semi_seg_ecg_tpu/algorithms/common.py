@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from ..config import experiment_dir
+from ..config import experiment_dir, test_cfg
 from ..data.dataset import build_seg_dataset
 from ..data.loader import get_dataloader
 from ..models import build_model_from_config
@@ -513,7 +513,7 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     log(f"Start training for {num_epochs} epochs")
     best_loss = float("inf")
     start_time = time.time()
-    target_metric = config.get("test", {}).get("target_metric", "MeanIoU")
+    target_metric = test_cfg(config).get("target_metric", "MeanIoU")
 
     for epoch in range(config.get("start_epoch", 0), num_epochs):
         for name in ("labeled", "unlabeled"):
@@ -695,10 +695,10 @@ def load_eval_model(config):
     (base.py:455-469: best-{target_metric} by default, aux heads dropped)."""
     model = build_model_from_config(config, train=False)
     model_state = init_model_state(model, config, config.get("seed", 0))
-    if config.get("test", {}).get("model_path", None):
+    if test_cfg(config).get("model_path", None):
         checkpoint_path = config["test"]["model_path"]
     else:
-        target_metric = config.get("test", {}).get("target_metric", "loss")
+        target_metric = test_cfg(config).get("target_metric", "loss")
         checkpoint_path = os.path.join(
             experiment_dir(config), f"best-{target_metric}.ckpt"
         )
@@ -767,7 +767,7 @@ def run_inference(config: Dict[str, Any]) -> np.ndarray:
     )
     # inference defaults to full precision unless test.use_amp is set
     # (reference inference.py:110)
-    if not config.get("test", {}).get("use_amp", False):
+    if not test_cfg(config).get("use_amp", False):
         config = {**config, "precision": "fp32"}
     model, model_state = load_eval_model(config)
 

@@ -42,7 +42,7 @@ from .common import (
     sgd_update,
     step_rngs,
 )
-from ..config import experiment_dir
+from ..config import experiment_dir, test_cfg
 from ..data.dataset import build_seg_dataset
 from ..data.loader import get_dataloader
 from ..models import build_model_from_config
@@ -198,7 +198,7 @@ def make_train_step(model, tx, config, updates_per_epoch):
 
 def _load_stage_teacher(stage_id: int):
     def hook(config, model, state):
-        target_metric = config.get("test", {}).get("target_metric", "MeanIoU")
+        target_metric = test_cfg(config).get("target_metric", "MeanIoU")
         path = os.path.join(
             experiment_dir(config), f"stage{stage_id - 1}",
             f"best-{target_metric}.ckpt",

@@ -135,6 +135,14 @@ def normalize_config(config: Dict[str, Any]) -> Dict[str, Any]:
     return config
 
 
+def test_cfg(config: Dict[str, Any]) -> Dict[str, Any]:
+    """The ``test:`` section as a dict. The reference treats ``config.test``
+    as a truthy flag (src/train.py:87-90), so booleans are legal YAML here;
+    accessors must not assume a mapping."""
+    t = config.get("test")
+    return t if isinstance(t, dict) else {}
+
+
 def experiment_dir(config: Dict[str, Any]) -> Optional[str]:
     if not config.get("output_dir"):
         return None

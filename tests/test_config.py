@@ -12,6 +12,7 @@ from semi_seg_ecg_tpu.config import (
     parse_eval_args,
     parse_train_args,
 )
+from semi_seg_ecg_tpu.config import test_cfg as _test_cfg
 
 
 def test_deep_merge_nested_and_list_replacement():
@@ -74,6 +75,18 @@ def test_normalize_reco_typo_alias():
     assert cfg["train"]["easy_conf_thresh"] == 0.65
     cfg = normalize_config({"train": {"easy_conf_thresh": 0.7}})
     assert cfg["train"]["eash_conf_thresh"] == 0.7
+
+
+def test_test_cfg_tolerates_boolean_section():
+    # the reference treats config['test'] as a truthy flag
+    # (src/train.py:87-90), so `test: false` / `test: true` are legal YAML;
+    # accessors must not assume a mapping
+    assert _test_cfg({"test": False}) == {}
+    assert _test_cfg({"test": True}) == {}
+    assert _test_cfg({}) == {}
+    assert _test_cfg({"test": {"target_metric": "MeanIoU"}}) == {
+        "target_metric": "MeanIoU"
+    }
 
 
 def test_experiment_dir():
