@@ -167,6 +167,11 @@ class ResNet1D(nn.Module):
     stage_blocks: Sequence[int] = (2, 2, 2, 2)
     zero_init_residual: bool = False
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    # activation checkpointing (jax.checkpoint) per residual block: trades
+    # recompute FLOPs for HBM — for deep variants (resnet101/152) or long
+    # signals where stage activations dominate memory. Param tree, outputs
+    # and gradients are identical either way.
+    remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -214,6 +219,9 @@ class ResNet1D(nn.Module):
         x = nn.max_pool(x, (3,), strides=(2,), padding=[(1, 1)])
 
         block_cls = self.block_cls
+        if self.remat:
+            # static_argnums=(2,): `train` is a Python bool, not a tracer
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = 1 if self.block == "basic" else 4
         inplanes = self.stem_channels
         outs = []

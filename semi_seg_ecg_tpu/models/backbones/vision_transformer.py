@@ -232,6 +232,11 @@ class VisionTransformer1D(nn.Module):
     out_indices: Sequence[int] = (3, 5, 7, 11)
     final_norm: bool = False
     output_cls_token: bool = False
+    # activation checkpointing (jax.checkpoint) per transformer block:
+    # trades recompute FLOPs for HBM — the memory lever for deep/wide or
+    # long-sequence variants. Param tree, outputs and gradients are
+    # identical either way.
+    remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -281,12 +286,16 @@ class VisionTransformer1D(nn.Module):
 
             # host-side: rates are static module hyperparameters
             dpr = np.linspace(0, self.drop_path_rate, self.depth).tolist()
+        block_cls = TransformerBlock
+        if self.remat:
+            # static_argnums=(2,): `train` is a Python bool, not a tracer
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         features = []
         for i in range(self.depth):
             # frozen blocks run deterministically (vision_transformer.py:
             # 280-284 `.eval()` parity; param freezing is the optimizer's job)
             block_train = train and i >= self.frozen_stages
-            x = TransformerBlock(
+            x = block_cls(
                 output_dim=self.width,
                 hidden_dim=self.mlp_dim,
                 heads=self.heads,
