@@ -99,7 +99,10 @@ def parse_eval_args(argv=None, prog: str = "ECG segmentation test") -> Dict[str,
     for k, v in vars(args).items():
         if v:
             if k == "model_path":
-                config.setdefault("test", {})["model_path"] = v
+                # the test: section may be a boolean flag (see test_cfg)
+                if not isinstance(config.get("test"), dict):
+                    config["test"] = {}
+                config["test"]["model_path"] = v
             else:
                 config[k] = v
     return normalize_config(config)

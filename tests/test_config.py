@@ -57,6 +57,10 @@ def test_parse_eval_args_model_path_routing(tmp_path):
     cfg = parse_eval_args(["-f", str(base), "--model_path", "/ckpt/best.ckpt"])
     assert cfg["test"]["model_path"] == "/ckpt/best.ckpt"
     assert cfg["test"]["target_metric"] == "MeanIoU"
+    # boolean test: section (legal — reference checks truthiness only)
+    base.write_text(yaml.dump({"test": True}))
+    cfg = parse_eval_args(["-f", str(base), "--model_path", "/ckpt/b.ckpt"])
+    assert cfg["test"]["model_path"] == "/ckpt/b.ckpt"
 
 
 def test_normalize_legacy_device_and_amp():
