@@ -513,7 +513,6 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     log(f"Start training for {num_epochs} epochs")
     best_loss = float("inf")
     start_time = time.time()
-    target_metric = test_cfg(config).get("target_metric", "MeanIoU")
 
     for epoch in range(config.get("start_epoch", 0), num_epochs):
         for name in ("labeled", "unlabeled"):

@@ -100,8 +100,7 @@ def parse_eval_args(argv=None, prog: str = "ECG segmentation test") -> Dict[str,
         if v:
             if k == "model_path":
                 # the test: section may be a boolean flag (see test_cfg)
-                if not isinstance(config.get("test"), dict):
-                    config["test"] = {}
+                config["test"] = test_cfg(config)
                 config["test"]["model_path"] = v
             else:
                 config[k] = v

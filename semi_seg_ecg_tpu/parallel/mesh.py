@@ -52,6 +52,14 @@ def make_mesh(
     axis; the remaining devices form the data axis. With the shipped configs
     this is a pure data-parallel mesh — the reference's DDP capability — but
     the model axis is first-class so TP shardings compile today.
+
+    The built mesh is registered as the process-wide *current mesh*
+    (:func:`get_current_mesh`), which mesh-aware ops consult at trace time.
+    One driver (train/test/inference) builds one mesh per phase with the
+    same devices, so re-registration is idempotent (Mesh equality is
+    structural); if you interleave *different* device subsets or axis
+    splits in one process, re-call ``make_mesh`` (or ``set_current_mesh``)
+    before tracing computations for each.
     """
     devices = list(devices if devices is not None else jax.devices())
     model = 1

@@ -31,6 +31,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset  # noqa: E402
+from semi_seg_ecg_tpu.parallel import mesh as _mesh_mod  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_current_mesh():
+    """make_mesh registers the mesh it builds as the process-wide current
+    mesh (consumed by mesh-aware ops like sharded_flash_attention). Tests
+    build many meshes; isolate them so a mesh from one test can't leak
+    sharding decisions into another."""
+    prev = _mesh_mod.get_current_mesh()
+    yield
+    _mesh_mod.set_current_mesh(prev)
 
 
 @pytest.fixture(scope="session")
