@@ -26,6 +26,8 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..norm import TorchBatchNorm
+
 # Reference init: conv weights ~ N(0, sqrt(2 / (k * out_ch)))
 # (resnet.py:326-333) == variance_scaling(2, fan_out, normal) in NWC.
 KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -55,13 +57,15 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
-        x = nn.BatchNorm(
+        # name pinned so checkpoints keep the BatchNorm_0 leaf path
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,  # == torch BatchNorm1d momentum 0.1
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             scale_init=self.scale_init,
+            name="BatchNorm_0",
         )(x)
         return x
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.interpolate import linear_interpolate
 from ..ops.losses import cross_entropy
+from .norm import TorchBatchNorm
 
 
 class LatentProjection(nn.Module):
@@ -38,9 +39,9 @@ class LatentProjection(nn.Module):
         x = nn.Conv(self.out_dim, (3,), padding=[(1, 1)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32)(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="BatchNorm_0")(x)
         x = nn.Conv(self.out_dim, (1,), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         return x

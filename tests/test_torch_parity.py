@@ -64,49 +64,50 @@ def test_avgpool_ceil_mode_matches_torch(rng):
 
 
 def test_batchnorm_train_and_eval_match_torch(rng):
+    from semi_seg_ecg_tpu.models.norm import TorchBatchNorm
+
     c, t = 8, 100
     x = rng.standard_normal((4, c, t)).astype(np.float32)
     tbn = torch.nn.BatchNorm1d(c, momentum=0.1, eps=1e-5)
     tbn.train()
     ref_train = tbn(torch.from_numpy(x)).detach().numpy()
 
-    fbn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
-                       dtype=jnp.float32, param_dtype=jnp.float32)
+    fbn = TorchBatchNorm(use_running_average=False, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32)
     variables = fbn.init(jax.random.key(0), jnp.asarray(x.transpose(0, 2, 1)))
     out, mutated = fbn.apply(variables, jnp.asarray(x.transpose(0, 2, 1)),
                              mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref_train,
                                atol=2e-5, rtol=1e-4)
 
-    # running stats after one batch must agree (torch momentum 0.1 ==
-    # flax momentum 0.9), torch uses unbiased var for the running update
-    np.testing.assert_allclose(
-        np.asarray(mutated["batch_stats"]["mean"]),
-        tbn.running_mean.numpy(), atol=1e-5,
-    )
-    flax_var = np.asarray(mutated["batch_stats"]["var"])
-    torch_var = tbn.running_var.numpy()
-    nel = 4 * t
-    # flax stores biased batch var in the EMA; torch stores unbiased
-    expected_torch = 0.9 * 1.0 + 0.1 * (
-        (flax_var - 0.9) / 0.1 * nel / (nel - 1)
-    )
-    np.testing.assert_allclose(torch_var, expected_torch, rtol=1e-3)
+    # running stats after several batches must agree exactly: torch updates
+    # running_var with the UNBIASED batch variance (momentum 0.1 ==
+    # flax-convention 0.9) and TorchBatchNorm replicates that
+    stats = mutated["batch_stats"]
+    for _ in range(3):
+        x2 = rng.standard_normal((4, c, t)).astype(np.float32)
+        tbn(torch.from_numpy(x2))
+        _, mutated = fbn.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            jnp.asarray(x2.transpose(0, 2, 1)), mutable=["batch_stats"],
+        )
+        stats = mutated["batch_stats"]
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5)
 
-    # eval mode with matched running stats
+    # eval mode with the accumulated running stats
     tbn.eval()
     ref_eval = tbn(torch.from_numpy(x)).detach().numpy()
-    eval_vars = {
-        "params": variables["params"],
-        "batch_stats": {
-            "mean": jnp.asarray(tbn.running_mean.numpy()),
-            "var": jnp.asarray(tbn.running_var.numpy()),
-        },
-    }
-    fbn_eval = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                            epsilon=1e-5, dtype=jnp.float32,
-                            param_dtype=jnp.float32)
-    out_eval = fbn_eval.apply(eval_vars, jnp.asarray(x.transpose(0, 2, 1)))
+    fbn_eval = TorchBatchNorm(use_running_average=True, momentum=0.9,
+                              epsilon=1e-5, dtype=jnp.float32,
+                              param_dtype=jnp.float32)
+    out_eval = fbn_eval.apply(
+        {"params": variables["params"], "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 1)),
+    )
     np.testing.assert_allclose(np.asarray(out_eval).transpose(0, 2, 1),
                                ref_eval, atol=2e-5, rtol=1e-4)
 
