@@ -110,13 +110,34 @@ def init_model_state(model, config, seed: int) -> ModelState:
 def load_pretrained_backbone(config, model_state: ModelState) -> ModelState:
     """``mode != scratch`` backbone warm-start (base.py:289-303).
 
-    Expects a framework checkpoint whose ``model.params`` contains a
-    ``backbone`` subtree (or is itself a backbone tree)."""
+    Accepts a framework checkpoint whose ``model.params`` contains a
+    ``backbone`` subtree (or is itself a backbone tree), or a reference-format
+    torch ``.pth`` — either a full-model or a bare-backbone state_dict
+    (base.py:296 loads the latter with ``model.backbone.load_state_dict``)."""
     path = config["pretrained_backbone"]
     payload = ckpt.load_checkpoint(path)
     log(f"Load backbone from {path}")
-    src = payload["model"]["params"]
-    src_stats = payload["model"].get("batch_stats", {})
+    model_payload = payload.get("model", payload) \
+        if isinstance(payload, dict) else payload
+    if ckpt.is_torch_state_dict(model_payload):
+        from ..utils.torch_interop import torch_sd_to_trees
+
+        sd = model_payload
+        if any(k.startswith("backbone.") for k in sd):
+            sd = {k[len("backbone."):]: v for k, v in sd.items()
+                  if k.startswith("backbone.")}
+        bb_params, bb_stats = torch_sd_to_trees(
+            sd, model_state.params["backbone"],
+            model_state.batch_stats.get("backbone", {}), backbone_only=True,
+        )
+        params = dict(model_state.params)
+        params["backbone"] = bb_params
+        stats = dict(model_state.batch_stats)
+        if "backbone" in stats:
+            stats["backbone"] = bb_stats
+        return ModelState(params=params, batch_stats=stats)
+    src = model_payload["params"]
+    src_stats = model_payload.get("batch_stats", {})
     if "backbone" in src:
         src, src_stats = src["backbone"], src_stats.get("backbone", {})
     params = dict(model_state.params)

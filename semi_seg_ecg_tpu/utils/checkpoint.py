@@ -136,8 +136,21 @@ def save_checkpoint(
 def load_checkpoint(path: str) -> Dict[str, Any]:
     if os.path.isdir(path):
         return _load_checkpoint_orbax(path)
+    if path.endswith((".pth", ".pt")):
+        # reference-format torch checkpoint (misc.py:281-302); its 'model' /
+        # 'model_ema' stay flat state_dicts here and are translated against
+        # the model template inside restore_model_state
+        from .torch_interop import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def is_torch_state_dict(payload_model) -> bool:
+    """True when a checkpoint's model entry is a torch state_dict (flat
+    dotted keys) rather than this framework's {params, batch_stats} trees."""
+    return isinstance(payload_model, dict) and "params" not in payload_model
 
 
 # ---------------------------------------------------------------------------
@@ -226,9 +239,18 @@ def _restore_by_path(payload: Any, template: Any, path: str = ""):
 
 def restore_model_state(payload_model: Dict[str, Any], template_model_state):
     """Rebuild a ModelState from checkpoint dicts, matching by path so that
-    submodule additions/removals (aux heads) restore cleanly."""
+    submodule additions/removals (aux heads) restore cleanly. Torch-format
+    state_dicts (reference ``.pth``) are translated transparently."""
     from .train_state import ModelState
 
+    if is_torch_state_dict(payload_model):
+        from .torch_interop import torch_sd_to_trees
+
+        params, stats = torch_sd_to_trees(
+            payload_model, template_model_state.params,
+            template_model_state.batch_stats,
+        )
+        return ModelState(params=params, batch_stats=stats)
     return ModelState(
         params=_restore_by_path(
             payload_model["params"], template_model_state.params, "params"
@@ -240,6 +262,32 @@ def restore_model_state(payload_model: Dict[str, Any], template_model_state):
     )
 
 
+def resolve_checkpoint_url(path: str) -> str:
+    """URL-resume capability (reference misc.py:307-309 uses torch.hub).
+
+    This build runs with zero network egress, so URLs resolve against the
+    torch-hub download cache instead of the network: ``file://`` maps to the
+    local path, and ``http(s)://`` URLs are looked up by filename in
+    ``$TORCH_HOME/hub/checkpoints`` (the directory ``torch.hub`` populates).
+    A cache miss raises with instructions rather than attempting a fetch."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if not path.startswith(("http://", "https://")):
+        return path
+    fname = os.path.basename(path.split("?", 1)[0])
+    torch_home = os.environ.get(
+        "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache", "torch")
+    )
+    cached = os.path.join(torch_home, "hub", "checkpoints", fname)
+    if os.path.exists(cached):
+        log(f"URL resume served from torch-hub cache: {cached}")
+        return cached
+    raise FileNotFoundError(
+        f"URL resume requires a pre-downloaded checkpoint (no network "
+        f"egress). Place the file at {cached} or pass a local path."
+    )
+
+
 def maybe_resume(config: Dict[str, Any], state, build_opt_template=None):
     """``--resume`` handling (misc.py:305-321 parity): restores model
     (+ema/+peer) and optimizer, sets ``config['start_epoch'] = epoch + 1``.
@@ -247,12 +295,7 @@ def maybe_resume(config: Dict[str, Any], state, build_opt_template=None):
     resume = config.get("resume")
     if not resume:
         return state
-    if str(resume).startswith(("http://", "https://")):
-        raise NotImplementedError(
-            "URL resume (torch.hub-style, reference misc.py:307-309) is not "
-            "supported in this zero-egress build; download the checkpoint "
-            "and pass a local path"
-        )
+    resume = resolve_checkpoint_url(str(resume))
     payload = load_checkpoint(resume)
     state = state.replace(
         model=restore_model_state(payload["model"], state.model)
@@ -266,6 +309,12 @@ def maybe_resume(config: Dict[str, Any], state, build_opt_template=None):
             peer=restore_model_state(payload["model_peer"], state.peer)
         )
     log(f"Resume checkpoint {resume}")
+    if is_torch_state_dict(payload["model"]):
+        # torch optimizer state is structurally foreign to optax — model
+        # weights warm-start, optimizer statistics restart (documented in
+        # tools/convert_checkpoint.py)
+        log("Torch-format checkpoint: model restored, optimizer restarted")
+        return state
     if "optimizer" in payload and payload.get("epoch") is not None:
         state = state.replace(
             opt_state=restore_opt_state(state.opt_state, payload["optimizer"])
