@@ -24,6 +24,38 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = float(
     os.environ.get("BASELINE_SAMPLES_PER_SEC", "4.74")
 )
+BASELINE_PROVENANCE = {
+    "value": BASELINE_SAMPLES_PER_SEC,
+    "unit": "samples/sec",
+    "workload": "FixMatch ResNet18-1D train step, batch 16, len 2500",
+    "tool": "tools/bench_torch_baseline.py",
+    "measured_on": ("env:BASELINE_SAMPLES_PER_SEC"
+                    if "BASELINE_SAMPLES_PER_SEC" in os.environ
+                    else "torch 2.13 CPU, this image, 2026-08 (BASELINE.md)"),
+}
+
+# Peak dense bf16 FLOP/s per chip by device kind, for the MFU estimate
+# (public TPU spec sheets; v5e = 197 TF bf16).
+_PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _flops_per_call(compiled) -> float:
+    """XLA-reported FLOPs for one compiled step (0.0 if unavailable)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main(steps: int = 100, warmup: int = 10) -> None:
@@ -88,6 +120,9 @@ def main(steps: int = 100, warmup: int = 10) -> None:
         run_batch = batch
     calls = max(steps // scan_k, 1)
 
+    compiled = train_step.lower(state, run_batch).compile()
+    flops_per_call = _flops_per_call(compiled)
+
     for _ in range(max(warmup // scan_k, 2)):
         state, metrics = train_step(state, run_batch)
     jax.block_until_ready(metrics["loss"])
@@ -104,11 +139,23 @@ def main(steps: int = 100, warmup: int = 10) -> None:
 
     samples_per_sec = calls * scan_k * global_batch / best_dt
     per_chip = samples_per_sec / n_chips
+
+    # Model FLOP utilisation: XLA's own cost model for the whole jitted
+    # step (fwd + bwd + optimizer, all passes) against the chip's peak.
+    kind = jax.devices()[0].device_kind
+    peak = _PEAK_BF16_FLOPS.get(kind)
+    achieved_flops = flops_per_call * calls / best_dt / n_chips
+    mfu = round(achieved_flops / peak, 4) if peak and flops_per_call else None
+
     print(json.dumps({
         "metric": "fixmatch_resnet18_train_samples_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 2),
+        "mfu": mfu,
+        "flops_per_step": flops_per_call / scan_k if flops_per_call else None,
+        "device_kind": kind,
+        "baseline": BASELINE_PROVENANCE,
     }))
 
 

@@ -121,21 +121,19 @@ class Resample(Transform):
 
     def __init__(self, target_length=None, target_fs=None, method="fourier",
                  kind="nearest"):
-        self.target_length = target_length
-        self.target_fs = target_fs
-        self.method = method
-        self.kind = kind
+        self.target_length, self.target_fs = target_length, target_fs
+        self.method, self.kind = method, kind
 
-    def _resample(self, x: np.ndarray, target_length: int) -> np.ndarray:
-        if self.method == "fourier":
-            return _fourier_resample(x, target_length, axis=1)
-        return _label_resample(x, target_length, self.kind)
+    def _resample(self, x: np.ndarray, m: int) -> np.ndarray:
+        return (_fourier_resample(x, m, axis=1) if self.method == "fourier"
+                else _label_resample(x, m, self.kind))
 
     def __call__(self, x, fs=None, rng=None):  # signature differs: fs-aware
-        if fs and self.target_fs and fs != self.target_fs:
-            x = self._resample(x, int(x.shape[1] * self.target_fs / fs))
-        elif self.target_length and x.shape[1] != self.target_length:
-            x = self._resample(x, self.target_length)
+        needs_fs_change = fs and self.target_fs and fs != self.target_fs
+        if needs_fs_change:
+            return self._resample(x, int(x.shape[1] * self.target_fs / fs))
+        if self.target_length and x.shape[1] != self.target_length:
+            return self._resample(x, self.target_length)
         return x
 
 
@@ -148,8 +146,7 @@ class RandomResizeCrop(Transform):
     def __init__(self, target_length: int, scale_min: float = 0.5,
                  scale_max: float = 2.0):
         self.target_length = target_length
-        self.scale_min = scale_min
-        self.scale_max = scale_max
+        self.scale_min, self.scale_max = scale_min, scale_max
 
     def _apply(self, rng, x, y=None):
         sig_len = x.shape[1]
@@ -175,83 +172,86 @@ class RandomResizeCrop(Transform):
         return x_crop
 
 
-class _BaseCrop(Transform):
-    """Joint signal/label cropping (transforms.py:129-192)."""
+class _WindowCrop(Transform):
+    """Joint signal/label window extraction (transforms.py:129-192)."""
 
     label_changeable = True
 
     def __init__(self, crop_length: int):
         self.crop_length = crop_length
 
-    def _check(self, x, y=None):
+    def _as_lead_major(self, x, y=None):
+        """Promote 1-D inputs to (1, T) and validate the x/y pairing."""
         if x.ndim == 1:
             x = x[None, :]
         elif x.ndim > 2:
-            raise ValueError(f"Invalid x shape: {x.shape}, must be 1D or 2D.")
+            raise ValueError(
+                f"signal must be 1-D or 2-D; got shape {x.shape}")
         seq_len = x.shape[1]
         if self.crop_length > seq_len:
             raise ValueError(
-                f"crop_length is larger than the length of x ({seq_len})."
-            )
+                f"cannot take a {self.crop_length}-sample window from a "
+                f"length-{seq_len} signal")
         if y is not None:
             if y.ndim == 1:
                 y = y[None, :]
             elif y.ndim > 2:
-                raise ValueError(f"Invalid y shape: {y.shape}, must be 1D or 2D.")
+                raise ValueError(
+                    f"label must be 1-D or 2-D; got shape {y.shape}")
             if y.shape[1] != seq_len:
-                raise ValueError(f"length mismatch: x: {x.shape}, y: {y.shape}")
+                raise ValueError(
+                    f"signal/label lengths differ: {x.shape} vs {y.shape}")
         return x, y
 
-    def _crop(self, start_idx, x, y=None):
+    def _take_windows(self, start_idx, x, y=None):
         if isinstance(start_idx, (int, np.integer)):
             start_idx = [int(start_idx)]
-        x_crop = np.stack([x[:, i:i + self.crop_length] for i in start_idx])
-        x_crop = np.squeeze(x_crop, 0) if x_crop.shape[0] == 1 else x_crop
+        windows = [x[:, i:i + self.crop_length] for i in start_idx]
+        x_crop = windows[0] if len(windows) == 1 else np.stack(windows)
         if y is not None:
-            y_crop = np.stack([y[:, i:i + self.crop_length] for i in start_idx])
-            y_crop = np.squeeze(y_crop, 0) if y_crop.shape[0] == 1 else y_crop
+            lwin = [y[:, i:i + self.crop_length] for i in start_idx]
+            y_crop = lwin[0] if len(lwin) == 1 else np.stack(lwin)
             return x_crop, y_crop
         return x_crop
 
 
-class RandomCrop(_BaseCrop):
+class RandomCrop(_WindowCrop):
     def _apply(self, rng, x, y=None):
-        x, y = self._check(x, y)
+        x, y = self._as_lead_major(x, y)
         start = int(rng.integers(0, x.shape[1] - self.crop_length + 1))
-        out = self._crop(start, x, y)
-        return out if y is not None else out
+        return self._take_windows(start, x, y)
 
 
-class CenterCrop(_BaseCrop):
+class CenterCrop(_WindowCrop):
     def _apply(self, rng, x, y=None):
-        x, y = self._check(x, y)
+        x, y = self._as_lead_major(x, y)
         start = (x.shape[1] - self.crop_length) // 2
-        return self._crop(start, x, y)
+        return self._take_windows(start, x, y)
 
 
-class MovingWindowCrop(_BaseCrop):
+class MovingWindowCrop(_WindowCrop):
     def __init__(self, crop_length: int, crop_stride: int):
         super().__init__(crop_length)
         self.crop_stride = crop_stride
 
     def _apply(self, rng, x, y=None):
-        x, y = self._check(x, y)
+        x, y = self._as_lead_major(x, y)
         starts = np.arange(0, x.shape[1] - self.crop_length + 1,
                            self.crop_stride)
-        return self._crop(starts, x, y)
+        return self._take_windows(starts, x, y)
 
 
-class NCrop(_BaseCrop):
+class NCrop(_WindowCrop):
     def __init__(self, crop_length: int, num_segments: int):
         super().__init__(crop_length)
         self.num_segments = num_segments
 
     def _apply(self, rng, x, y=None):
-        x, y = self._check(x, y)
+        x, y = self._as_lead_major(x, y)
         seq_len = x.shape[1]
         step = (seq_len - self.crop_length) // (self.num_segments - 1)
         starts = np.arange(0, seq_len - self.crop_length + 1, step)
-        return self._crop(starts, x, y)
+        return self._take_windows(starts, x, y)
 
 
 class SOSFilter(Transform):
@@ -290,10 +290,9 @@ class Standardize(Transform):
             out = native.standardize(x)
             if out is not None:
                 return out
-        loc = np.mean(x, axis=self.axis, keepdims=True)
-        scale = np.std(x, axis=self.axis, keepdims=True)
-        return np.divide(x - loc, scale, out=np.zeros_like(x),
-                         where=scale != 0)
+        mu = x.mean(axis=self.axis, keepdims=True)
+        sd = x.std(axis=self.axis, keepdims=True)
+        return np.divide(x - mu, sd, out=np.zeros_like(x), where=sd != 0)
 
 
 # ---------------------------------------------------------------------------
@@ -410,9 +409,8 @@ class _Noise(Transform):
         return x + self._noise(rng, x)
 
     def set_level(self, level, max_level=10):
-        level = level / max_level
-        self.amplitude = level * 1.0
-        self.freq = 0.5 / level
+        frac = level / max_level
+        self.amplitude, self.freq = frac * 1.0, 0.5 / frac
 
 
 class RandomBaselineShift(_Noise):
@@ -434,8 +432,8 @@ class RandomBaselineShift(_Noise):
 
     def set_level(self, level, max_level=10):
         super().set_level(level, max_level)
-        self.ratio = level / max_level * 0.5
-        self.scale = level / max_level * 3.0
+        frac = level / max_level
+        self.ratio, self.scale = frac * 0.5, frac * 3.0
 
 
 class AdaptivePowerlineNoise(_Noise):
@@ -446,11 +444,10 @@ class AdaptivePowerlineNoise(_Noise):
 
     def _noise(self, rng, x):
         t = (np.arange(x.shape[-1]) / self.fs)[None, :]
-        robust_max = np.percentile(x, 95, axis=1, keepdims=True)
-        robust_min = np.percentile(x, 5, axis=1, keepdims=True)
-        amplitude = (robust_max - robust_min) / 2
-        freq = 50 if rng.random() < 0.5 else 60
-        return amplitude * np.sin(2 * np.pi * freq * t)
+        hi, lo = (np.quantile(x, q, axis=1, keepdims=True)
+                  for q in (0.95, 0.05))
+        mains_hz = 50 if rng.random() < 0.5 else 60
+        return 0.5 * (hi - lo) * np.sin(2 * np.pi * mains_hz * t)
 
 
 class SineNoise(_Noise):
@@ -549,7 +546,7 @@ class ToTensor(Transform):
 
     def __init__(self, dtype="float"):
         if isinstance(dtype, str):
-            assert dtype in self._DTYPES, f"Invalid dtype: {dtype}"
+            assert dtype in self._DTYPES, f"unknown dtype name '{dtype}'"
             dtype = self._DTYPES[dtype]
         self.dtype = dtype
 
@@ -565,13 +562,11 @@ class RandAugment(Transform):
 
     def __init__(self, ops: List[Transform], level: int = 10,
                  num_layers: int = 2, prob: float = 0.5):
-        self.ops: List[RandomApply] = []
         for op in ops:
-            if hasattr(op, "set_level"):
-                op.set_level(level=level)
-            self.ops.append(RandomApply(op, prob=prob))
-        self.num_layers = num_layers
-        self.prob = prob
+            op.set_level(level=level)
+        self.ops: List[RandomApply] = [RandomApply(op, prob=prob)
+                                       for op in ops]
+        self.num_layers, self.prob = num_layers, prob
 
     def __call__(self, x, y=None, rng=None):
         rng = _ensure_rng(rng)
@@ -614,43 +609,48 @@ MAPPING = {
 }
 
 
+def _split_entry(entry: Union[str, Dict[str, Any]]) -> Tuple[str, dict]:
+    """A config entry is either a bare op name or ``{name: kwargs}``."""
+    if isinstance(entry, str):
+        return entry, {}
+    if isinstance(entry, dict):
+        assert len(entry) == 1, \
+            "each transform entry maps exactly one name to its kwargs"
+        name, kwargs = next(iter(entry.items()))
+        return name, kwargs or {}
+    raise ValueError(
+        f"transform entries are strings or single-key dicts; got {entry!r}")
+
+
+def _build_combinator(name: str, kwargs: dict) -> Transform:
+    """RandomApply / RandAugment wrap recursively-parsed inner configs."""
+    if name == "RandomApply":
+        assert "transform" in kwargs, "RandomApply config needs 'transform'"
+        assert "prob" in kwargs, "RandomApply config needs 'prob'"
+        (inner,) = get_transforms_from_config([kwargs["transform"]])
+        return RandomApply(inner, prob=kwargs["prob"])
+    assert "ops" in kwargs, "RandAugment config needs 'ops'"
+    return RandAugment(
+        ops=get_transforms_from_config(kwargs["ops"]),
+        level=kwargs.get("level", 10),
+        num_layers=kwargs.get("num_layers", 2),
+        prob=kwargs.get("prob", 0.5),
+    )
+
+
 def get_transforms_from_config(
     config: List[Union[str, Dict[str, Any]]]
 ) -> Optional[List[Transform]]:
     """Recursive config → transform-list parser (transforms.py:721-770)."""
     transforms: List[Transform] = []
     for entry in config:
-        if isinstance(entry, str):
-            name, kwargs = entry, {}
-        elif isinstance(entry, dict):
-            assert len(entry) == 1, "Each transform must have only one key."
-            name, kwargs = list(entry.items())[0]
-            kwargs = kwargs or {}
-        else:
-            raise ValueError(
-                f"Invalid transform: {entry}, must be a str or a dict."
-            )
+        name, kwargs = _split_entry(entry)
         if name in MAPPING:
             transforms.append(MAPPING[name](**kwargs))
-        elif name == "RandomApply":
-            assert "transform" in kwargs, "RandomApply must have 'transform' key."
-            assert "prob" in kwargs, "RandomApply must have 'prob' key."
-            inner = get_transforms_from_config([kwargs["transform"]])
-            transforms.append(RandomApply(inner[0], prob=kwargs["prob"]))
-        elif name == "RandAugment":
-            assert "ops" in kwargs, "RandAugment must have 'ops' key."
-            transforms.append(
-                RandAugment(
-                    ops=get_transforms_from_config(kwargs["ops"]),
-                    level=kwargs.get("level", 10),
-                    num_layers=kwargs.get("num_layers", 2),
-                    prob=kwargs.get("prob", 0.5),
-                )
-            )
+        elif name in ("RandomApply", "RandAugment"):
+            transforms.append(_build_combinator(name, kwargs))
         elif name in globals():
             transforms.append(globals()[name](**kwargs))
         else:
-            raise ValueError(f"Invalid name: {name}")
-    if not transforms:
-        return None
-    return transforms
+            raise ValueError(f"unknown transform '{name}'")
+    return transforms or None
