@@ -634,6 +634,17 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
                     scalars.get("loss", scalars.get("loss_total", 0.0))
                 ):
                     log(f"Loss is {scalars}, stopping training", force=True)
+                    # Detection is async (drain cadence), but always fires
+                    # before this epoch's checkpoint decisions run, so no
+                    # poisoned state is ever queued for writing. Flush the
+                    # pending writes — they all predate this epoch — and
+                    # point the operator at the last healthy checkpoint
+                    # (reference base.py:135-137 aborts on-step; this is
+                    # the pipelined equivalent with a restart story).
+                    ckpt.wait_for_pending()
+                    last_good = ckpt.last_written_checkpoint()
+                    if last_good:
+                        log(f"Last good checkpoint: {last_good}", force=True)
                     sys.exit(1)
                 update_step = (epoch * steps_per_epoch + i) // accum
                 scalars["lr"] = float(lr_fn(update_step))

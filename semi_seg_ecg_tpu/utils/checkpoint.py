@@ -34,6 +34,24 @@ from .logging import log
 _QUEUE: "queue.Queue" = None  # type: ignore[assignment]
 _WORKER: threading.Thread = None  # type: ignore[assignment]
 
+# Most recent checkpoint that fully hit disk — the "last good" pointer the
+# NaN-abort path reports so a run can be restarted from a healthy state.
+_LAST_WRITTEN: Optional[str] = None
+_LAST_WRITTEN_LOCK = threading.Lock()
+
+
+def _record_written(path: str) -> None:
+    global _LAST_WRITTEN
+    with _LAST_WRITTEN_LOCK:
+        _LAST_WRITTEN = path
+
+
+def last_written_checkpoint() -> Optional[str]:
+    """Path of the most recently *completed* checkpoint write (async writes
+    count only once the atomic rename lands), or None."""
+    with _LAST_WRITTEN_LOCK:
+        return _LAST_WRITTEN
+
 
 def _ensure_worker():
     global _QUEUE, _WORKER
@@ -117,11 +135,12 @@ def save_checkpoint(
     def write():
         if backend == "orbax":
             _save_checkpoint_orbax(path, payload)
-            return
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-        os.replace(tmp, path)  # atomic: no torn checkpoints on preemption
+        else:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, path)  # atomic: no torn ckpts on preemption
+        _record_written(path)
 
     if async_write:
         # the device→host fetch above already snapshotted every array, so

@@ -116,3 +116,37 @@ def test_ema_update_mixes_params_and_stats():
         np.asarray(mixed.batch_stats["backbone"]["bn"]["mean"]),
         tm * 0.9 + sm * 0.1, rtol=1e-6,
     )
+
+
+def test_nan_step_aborts_after_flushing_good_checkpoints(tmp_path, capsys):
+    """A non-finite loss at drain time must (a) flush queued async writes —
+    they all predate the poisoned epoch — and (b) report the last healthy
+    checkpoint path before exiting (reference base.py:135-137 analogue)."""
+    from types import SimpleNamespace
+
+    from semi_seg_ecg_tpu.algorithms.common import _train_one_epoch
+    from semi_seg_ecg_tpu.parallel.mesh import make_mesh
+
+    good = os.path.join(tmp_path, "checkpoint-1.ckpt")
+    ckpt.save_checkpoint(good, epoch=1, model_state=_model_state(),
+                         async_write=True)
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    batch = {"ecg": np.zeros((2, 1, 16), np.float32)}
+
+    def nan_step(state, b):
+        return state, {"loss": jnp.float32(float("nan"))}
+
+    with pytest.raises(SystemExit) as exc:
+        _train_one_epoch(
+            nan_step, SimpleNamespace(step=0), {"labeled": [batch]},
+            SimpleNamespace(uses_unlabeled=False), mesh, epoch=0,
+            steps_per_epoch=1, lr_fn=lambda s: 0.1, accum=1,
+            log_writer=None, config={},
+        )
+    assert exc.value.code == 1
+    # the queued good write landed before exit and is reported
+    assert os.path.exists(good)
+    assert ckpt.last_written_checkpoint() == good
+    out = capsys.readouterr().out
+    assert "Last good checkpoint" in out and good in out
