@@ -96,9 +96,9 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     }
     batch = jax.device_put(batch, batch_sharding(mesh))
 
-    # async per-step dispatch pipelines best on this stack (scan loops
-    # measured *slower* — the while-loop body loses cross-step overlap);
-    # BENCH_SCAN_STEPS>1 exercises the train.scan_steps path instead
+    # BENCH_SCAN_STEPS>1 exercises the train.scan_steps path (K steps per
+    # dispatch; 2.3x per-step dispatch through a congested link, see
+    # NOTES.md) — the default stays per-step for comparability across rounds
     scan_k = int(os.environ.get("BENCH_SCAN_STEPS", "1"))
     inner = make_train_step(model, tx, config, 1000)
     if scan_k > 1:

@@ -230,6 +230,10 @@ def _host_shard_args(num_shards: int) -> Dict[str, int]:
     """Each process materialises only its own slice of the data-parallel
     shards (multi-host input sharding; single-process: the full range)."""
     procs = jax.process_count()
+    assert num_shards % procs == 0, (
+        f"data-parallel shards ({num_shards}) must divide evenly across "
+        f"processes ({procs}); uneven splits would silently drop shards"
+    )
     local = num_shards // procs
     return {
         "shard_offset": jax.process_index() * local,
@@ -240,16 +244,17 @@ def _host_shard_args(num_shards: int) -> Dict[str, int]:
 def build_train_loaders(config, mesh, spec: AlgorithmSpec,
                         unlabeled_subset_ids=None):
     eval_cfg = ds_cfg = config["dataset"]
+    lab_cfg = unlab_cfg = ds_cfg
     if ds_cfg.get("device_augment", False):
-        # train datasets ship the deterministic prefix only (resample +
-        # filter, cacheable); augmentation + standardize run fused on device
-        # (ops/preprocess.py). Eval keeps the standard host path.
-        ds_cfg = {
-            **ds_cfg,
-            "augmentations": None,
-            "strong_augmentations": None,
-            "transforms": [{"to_tensor": {"dtype": "float"}}],
-        }
+        # the plan decides per branch what the host still computes and what
+        # runs fused on device (ops/preprocess.py); ops without a device
+        # equivalent stay host-side instead of failing the run. Eval keeps
+        # the standard host path.
+        from ..ops.preprocess import plan_device_augment
+
+        plan = plan_device_augment(ds_cfg)
+        lab_cfg = {**ds_cfg, **plan.labeled_overrides}
+        unlab_cfg = {**ds_cfg, **plan.unlabeled_overrides}
     seed = config["seed"]
     num_shards = data_parallel_size(mesh)
     shard_args = _host_shard_args(num_shards)
@@ -259,14 +264,14 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
 
     loaders: Dict[str, Any] = {}
     if spec.uses_unlabeled:
-        ds_unlab = build_seg_dataset(ds_cfg, split="train_unlabeled")
+        ds_unlab = build_seg_dataset(unlab_cfg, split="train_unlabeled")
         if unlabeled_subset_ids is not None:
             from ..data.dataset import Subset
 
             ds_unlab = Subset(ds_unlab, unlabeled_subset_ids)
         num_unlabeled = len(ds_unlab)
         ds_lab = build_seg_dataset(
-            ds_cfg, split="train_labeled", num_unlabeled=num_unlabeled
+            lab_cfg, split="train_labeled", num_unlabeled=num_unlabeled
         )
         loaders["unlabeled"] = get_dataloader(
             ds_unlab, mode="train", batch_size=batch_size, seed=seed,
@@ -276,7 +281,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
         log(f"Unlabeled: {num_unlabeled} samples / "
             f"{len(loaders['unlabeled'])} batches")
     else:
-        ds_lab = build_seg_dataset(ds_cfg, split="train_labeled")
+        ds_lab = build_seg_dataset(lab_cfg, split="train_labeled")
     loaders["labeled"] = get_dataloader(
         ds_lab, mode="train", batch_size=batch_size, seed=seed,
         num_shards=num_shards, num_workers=num_workers, rng_salt=0,
@@ -318,6 +323,9 @@ def combined_batches(loaders, spec: AlgorithmSpec):
         yield from loaders["labeled"]
         return
     for labeled, unlabeled in zip(loaders["labeled"], loaders["unlabeled"]):
+        if "idx" in labeled:  # device_cache mode: index-only batches
+            yield {"idx": labeled["idx"], "idx_u": unlabeled["idx_u"]}
+            continue
         batch = {"ecg": labeled["ecg"], "target": labeled["target"],
                  "ecg_u_w": unlabeled["ecg"]}
         if "ecg_aug" in unlabeled:
@@ -343,6 +351,29 @@ def make_eval_step(model, num_classes: int):
                 "tsum": tsum}
 
     return jax.jit(eval_step)
+
+
+def _allgather_rows(rows: np.ndarray, arrays):
+    """Cross-host reassembly of per-sample arrays by (row-index, row-value)
+    exchange. ``rows`` are the dataset indices this host computed; every
+    ``arrays[i]`` is the full-size (N, ...) buffer with only those rows
+    filled. Hosts exchange compacted rows — equal counts per host, thanks to
+    the padded DistributedSampler — and scatter peers' rows in place.
+    Replaces a full-array allgather (O(N x n_hosts) peak) with O(N) total.
+    """
+    from jax.experimental import multihost_utils
+
+    payload = {"rows": rows.astype(np.int64)}
+    for i, a in enumerate(arrays):
+        payload[str(i)] = a[rows]
+    gathered = multihost_utils.process_allgather(payload)
+    for i, a in enumerate(arrays):
+        vals = gathered[str(i)]
+        for p in range(vals.shape[0]):
+            if p == jax.process_index():
+                continue  # own rows are already in place
+            a[gathered["rows"][p]] = vals[p]
+    return arrays
 
 
 def evaluate(
@@ -372,13 +403,28 @@ def evaluate(
     tsum = np.zeros((n, num_classes), np.int64)
     outputs = None
     labels_np = None
+    local_rows: list = []  # dataset indices this host computed, in order
     t0 = time.time()
-    for step, batch in enumerate(loader):
-        sharded = shard_batch(mesh, batch)
-        out = jax.device_get(eval_step(
-            ModelState(model_state.params, model_state.batch_stats), sharded
-        ))
+
+    def _absorb(step, batch, out):
+        nonlocal outputs, labels_np
+        if jax.process_count() > 1:
+            # global arrays span other hosts' devices; fetch only the rows
+            # this host computed (its loader shards, in shard order)
+            from jax.experimental.multihost_utils import (
+                global_array_to_host_local_array,
+            )
+            from ..parallel.mesh import DATA_AXIS
+            from jax.sharding import PartitionSpec
+
+            out = {
+                k: global_array_to_host_local_array(
+                    v, mesh, PartitionSpec(DATA_AXIS))
+                for k, v in out.items()
+            }
+        out = jax.device_get(out)
         flat = mat[step].reshape(-1)
+        local_rows.append(flat)
         loss_ps[flat] = out["loss"]
         inter[flat] = out["inter"]
         psum[flat] = out["psum"]
@@ -386,28 +432,40 @@ def evaluate(
         if collect_outputs:
             if outputs is None:
                 outputs = np.zeros((n,) + out["probs"].shape[1:], np.float32)
-                labels_np = np.zeros((n,) + batch["target"].shape[1:], np.int64)
+                labels_np = np.zeros((n,) + batch["target"].shape[1:],
+                                     np.int64)
             outputs[flat] = out["probs"]
             labels_np[flat] = batch["target"]
-    if jax.process_count() > 1:
-        # each host filled only its shards' rows (zeros elsewhere); values
-        # are non-negative and identical where duplicated, so an elementwise
-        # max-reduce across hosts reassembles the full arrays
-        from jax.experimental import multihost_utils
 
-        payload = {"loss": loss_ps, "inter": inter, "psum": psum,
-                   "tsum": tsum}
+    # double-buffered: dispatch batch i+1 before pulling batch i's results,
+    # so D2H transfer + host scatter overlap the next forward
+    from collections import deque
+
+    inflight: deque = deque()
+    for step, batch in enumerate(loader):
+        sharded = shard_batch(mesh, batch)
+        fut = eval_step(
+            ModelState(model_state.params, model_state.batch_stats), sharded
+        )
+        inflight.append((step, batch, fut))
+        if len(inflight) >= 2:
+            _absorb(*inflight.popleft())
+    while inflight:
+        _absorb(*inflight.popleft())
+
+    if jax.process_count() > 1:
+        # Streaming reassembly: every host ships only the rows it computed
+        # (the DistributedSampler pads shards to equal size, so per-host row
+        # counts match) plus their dataset indices; hosts scatter each
+        # other's rows into place. Peak memory is O(N) rows total per host —
+        # not O(N x n_hosts) as a full-array allgather would be. Duplicated
+        # (padded) rows carry identical values, so write order is free.
+        arrays = [loss_ps, inter, psum, tsum]
         if collect_outputs:
-            payload["outputs"] = outputs
-            payload["labels"] = labels_np
-        gathered = multihost_utils.process_allgather(payload)
-        loss_ps = np.max(gathered["loss"], axis=0)
-        inter = np.max(gathered["inter"], axis=0)
-        psum = np.max(gathered["psum"], axis=0)
-        tsum = np.max(gathered["tsum"], axis=0)
-        if collect_outputs:
-            outputs = np.max(gathered["outputs"], axis=0)
-            labels_np = np.max(gathered["labels"], axis=0)
+            arrays += [outputs, labels_np]
+        rows = (np.concatenate(local_rows) if local_rows
+                else np.zeros((0,), np.int64))
+        _allgather_rows(rows, arrays)  # scatters peers' rows in place
     # replay metric updates in the reference's sequential batch grouping
     if eval_batch_size is None:
         eval_batch_size = loader.batch_size
@@ -498,16 +556,34 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     lr_fn = make_lr_schedule(config["train"], updates_per_epoch)
     inner_step = spec.make_train_step(model, tx, config, updates_per_epoch)
     if config["dataset"].get("device_augment", False):
-        from ..ops.preprocess import build_device_augment
+        from ..ops.preprocess import plan_device_augment
 
-        aug_fn = build_device_augment(config["dataset"])
-        aug_seed = seed + 0x5EED
+        plan = plan_device_augment(config["dataset"])
+        log(f"device_augment: {plan.summary}")
+        if plan.augment is not None:
+            aug_fn = plan.augment
+            aug_seed = seed + 0x5EED
 
-        def _aug_step(state, batch, _inner=inner_step):
-            key = jax.random.fold_in(jax.random.key(aug_seed), state.step)
-            return _inner(state, aug_fn(key, batch))
+            def _aug_step(state, batch, _inner=inner_step):
+                key = jax.random.fold_in(jax.random.key(aug_seed),
+                                         state.step)
+                return _inner(state, aug_fn(key, batch))
 
-        inner_step = _aug_step
+            inner_step = _aug_step
+        if config["dataset"].get("device_cache", False):
+            from ..data.device_cache import (
+                DeviceCache, plan_allows_device_cache,
+            )
+
+            reason = plan_allows_device_cache(config, spec)
+            if reason is None:
+                cache = DeviceCache.build(loaders, mesh)
+                loaders.update(cache.index_loaders)
+                inner_step = cache.wrap_step(inner_step)
+                log(f"device_cache: {cache.bytes_uploaded / 1e6:.1f} MB "
+                    "raw prefix resident in HBM; steps ship indices only")
+            else:
+                log(f"device_cache disabled: {reason}")
     if config.get("debug", {}).get("nan_checks", False):
         # NaN localisation beyond the reference's loss-only abort
         # (base.py:135-137): jax_debug_nans re-runs the offending op
@@ -515,8 +591,9 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
         jax.config.update("jax_debug_nans", True)
     train_step = jax.jit(inner_step, donate_argnums=0)
     # device-side multi-step loop: K steps per dispatch via lax.scan —
-    # amortises host dispatch (2x measured through a high-latency link; a
-    # real win whenever the step is sub-millisecond)
+    # amortises host dispatch (2.3x vs per-step through a high-latency
+    # link, slope-based timing in NOTES.md; a real win whenever per-step
+    # dispatch latency rivals the step's compute time)
     scan_steps = int(config["train"].get("scan_steps", 1) or 1)
     scan_step = None
     if scan_steps > 1:
@@ -668,48 +745,54 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
             f"eta: {eta}  {logger}  time: {per_it:.4f}  "
             f"data: {data_wait / (it + 1):.4f}{mem_part}")
 
-    buffer = []
+    from collections import deque
 
-    def flush_buffer(last_it):
-        nonlocal state, buffer
-        if not buffer:
+    def dispatch_units():
+        """Yield ``(step_fn, device_payload, n_inner_steps)`` units.
+
+        The scan path groups ``scan_steps`` host batches into one stacked
+        upload + one K-step device program (the epoch tail shorter than the
+        window falls back to per-step dispatch). Collation and the async
+        H2D transfer happen here, ahead of dispatch, so the depth-2
+        prefetch below overlaps them with the running program — the scan
+        analogue of ``device_prefetch``.
+        """
+        if scan_step is None:
+            for b in combined_batches(loaders, spec):
+                yield train_step, shard_batch(mesh, b), 1
             return
-        if scan_step is not None and len(buffer) == scan_steps:
-            stacked = {
-                k: np.stack([b[k] for b in buffer])
-                for k in buffer[0]
-            }
-            state, ms = scan_step(state,
-                                  shard_stacked_batch(mesh, stacked))
-            pending.append((last_it - len(buffer) + 1, ms, len(buffer)))
-        else:  # epoch tail shorter than scan window: per-step dispatch
-            for j, b in enumerate(buffer):
-                state, m = train_step(state, shard_batch(mesh, b))
-                pending.append((last_it - len(buffer) + 1 + j, m, 1))
-        buffer = []
+        buf = []
+        for b in combined_batches(loaders, spec):
+            buf.append(b)
+            if len(buf) == scan_steps:
+                stacked = {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+                yield scan_step, shard_stacked_batch(mesh, stacked), scan_steps
+                buf = []
+        for b in buf:
+            yield train_step, shard_batch(mesh, b), 1
 
-    if scan_step is not None:
-        batch_iter = combined_batches(loaders, spec)  # host batches (stacked later)
-    else:
-        batch_iter = device_prefetch(combined_batches(loaders, spec), mesh)
-    for it, batch in enumerate(batch_iter):
+    def prefetched(units, depth: int = 2):
+        q = deque()
+        for unit in units:
+            q.append(unit)
+            if len(q) >= depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
+    it = -1  # index of the last train step dispatched
+    for step_fn, payload, count in prefetched(dispatch_units()):
         data_wait += time.time() - t_last
-        profiler.step(epoch * steps_per_epoch + it)
-        if scan_step is not None:
-            buffer.append(batch)
-            if len(buffer) == scan_steps:
-                flush_buffer(it)
-        else:
-            state, metrics = train_step(state, batch)
-            pending.append((it, metrics, 1))
-        if (it + 1) % PRINT_FREQ == 0 or it == steps_per_epoch - 1:
-            if it == steps_per_epoch - 1:
-                flush_buffer(it)
-            if not buffer:
-                drain()
-                progress(it)
+        first = it + 1
+        it += count
+        profiler.step(epoch * steps_per_epoch + first)
+        state, metrics = step_fn(state, payload)
+        pending.append((first, metrics, count))
+        if (it + 1) // PRINT_FREQ != first // PRINT_FREQ \
+                or it == steps_per_epoch - 1:
+            drain()
+            progress(it)
         t_last = time.time()
-    flush_buffer(steps_per_epoch - 1)
     drain()
     profiler.close()
     log(f"Averaged stats: {logger}")

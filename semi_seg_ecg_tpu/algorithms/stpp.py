@@ -84,10 +84,24 @@ def select_reliable(
     n = len(loader.dataset)
     mat = loader.step_indices()
     reliability = np.zeros(n)
+    local_rows = []
     for step, batch in enumerate(loader):
-        preds = np.asarray(preds_fn(snapshot_states,
-                                    shard_batch(mesh, batch)))
+        preds = preds_fn(snapshot_states, shard_batch(mesh, batch))
+        if jax.process_count() > 1:
+            # (S, B, T) global array, batch sharded on dim 1: fetch only
+            # this host's rows (others' shards are non-addressable)
+            from jax.experimental.multihost_utils import (
+                global_array_to_host_local_array,
+            )
+            from jax.sharding import PartitionSpec
+
+            from ..parallel.mesh import DATA_AXIS
+
+            preds = global_array_to_host_local_array(
+                preds, mesh, PartitionSpec(None, DATA_AXIS))
+        preds = np.asarray(preds)
         flat = mat[step].reshape(-1)
+        local_rows.append(flat)
         mious = []
         final = jnp.asarray(preds[-1])
         for s in range(len(snapshot_states) - 1):
@@ -98,13 +112,13 @@ def select_reliable(
                                         np.asarray(tsum)))
         reliability[flat] = np.mean(mious, axis=0)
     if jax.process_count() > 1:
-        # each host ranked its own shards; reassemble (values are
-        # non-negative and identical where wraparound-duplicated)
-        from jax.experimental import multihost_utils
+        # each host ranked its own shards; exchange (row, value) pairs and
+        # scatter peers' rows in place — O(N) total, not O(N x n_hosts)
+        from .common import _allgather_rows
 
-        reliability = np.max(
-            multihost_utils.process_allgather(reliability), axis=0
-        )
+        rows = (np.concatenate(local_rows) if local_rows
+                else np.zeros((0,), np.int64))
+        _allgather_rows(rows, [reliability])
     order = np.argsort(-reliability, kind="stable")
     half = len(order) // 2
     return order[:half].tolist(), order[half:].tolist()

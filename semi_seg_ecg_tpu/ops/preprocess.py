@@ -3,35 +3,59 @@
 The reference augments per sample on the host inside ``__getitem__``
 (semi_dataset.py:176-243) — scipy FFT resampling and noise synthesis on CPU,
 per record, per epoch. This module implements the same augmentation *stage*
-as a pure jnp function over whole batches, so it fuses into the training
+as pure jnp functions over whole batches, so it fuses into the training
 step: the host ships raw (resampled+filtered, cacheable) signals once and
 the TPU generates the weak/strong views.
 
-Supported ops (the ones the shipped configs use):
+Every augmentation class in ``data/transforms.py`` that keeps its shape has
+a batched, masked/branch-free device equivalent (reference semantics anchor:
+src/utils/transforms.py:315-625):
 
-- ``random_resize_crop`` (weak view): random time-scale then center-pad +
-  random-crop. The reference rescales by Fourier (sinc) interpolation; the
-  on-device version uses linear interpolation on a per-sample coordinate
-  grid — a documented approximation (band-limited vs piecewise-linear
-  resampling) with the same crop/pad geometry and label alignment
-  (nearest-neighbour labels).
-- ``standardize`` (z-norm per sample, zero-guarded).
-- strong view = ``RandAugment`` over {AmplitudeScaling,
-  AdaptivePowerlineNoise, RandomPartialWhiteNoise, RandomPartialSineNoise,
-  WhiteNoise, SineNoise, YFlip}: N-of-K without replacement via per-sample
-  Gumbel top-k masks; every op is computed (cheap VPU elementwise) and
-  masked in — branch-free, static shapes.
+=====================  =======================================================
+host op                device strategy
+=====================  =======================================================
+random_resize_crop     per-sample coordinate grid, linear interp (see below)
+xflip / yflip          time-reverse (labels too) / negate
+amplitude_scaling      ``x * N(1, sigma)``
+drop (RandomMask)      double-argsort rank of per-point uniforms < count
+cutout                 span mask zeroes signal and label
+shift (RandomShift)    masked gather ``out[j] = x[j -/+ s]``, zero-padded
+random_baseline_shift  per-lead median x random span x signed scale
+*_noise (+partial)     synthesized waveform; partial variants place
+                       ``noise[:count]`` into a random span (phase-shifted)
+standardize            per-sample z-norm, zero-guarded
+RandomApply            per-sample Bernoulli blend
+RandAugment            per-sample Gumbel top-k N-of-K, per-op prob gate,
+                       magnitude ``level`` applied like ``set_level``
+=====================  =======================================================
 
-Enable with ``dataset.device_augment: true``; configs containing host-only
-ops fall back loudly (``build_device_augment`` raises).
+``random_resize_crop`` is the one documented approximation: the reference
+rescales by Fourier (sinc) interpolation; on device we use linear
+interpolation on a per-sample coordinate grid — distributional, not bitwise,
+equivalence, with the same crop/pad geometry and nearest-neighbour label
+alignment.
+
+Shape-changing ops (crops), filters, and resampling stay on the host — crops
+because static shapes are decided there, filters/resample because they are
+deterministic per *file* and cached (``data/dataset.py`` prefix cache), so
+they cost nothing per epoch anyway.
+
+:func:`plan_device_augment` splits an arbitrary config between host and
+device **per branch**: if some op in a chain has no device equivalent, that
+chain (and whatever must precede it) falls back to the host pipeline while
+the rest still fuses into the step — ``device_augment: true`` is safe on any
+config, never an error.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+MAX_LEVEL = 10  # RandAugment magnitude scale (transforms.py set_level)
 
 
 def standardize_batch(x: jnp.ndarray) -> jnp.ndarray:
@@ -101,99 +125,299 @@ def random_resize_crop_batch(
     return x_out, y_out
 
 
-# --- strong augmentation ops (signal-only, elementwise) ---------------------
+# ---------------------------------------------------------------------------
+# Shared randomness helpers
+# ---------------------------------------------------------------------------
 
 
-def _span_mask(key, t: int, ratio: float, shape_prefix):
-    """Random contiguous span [start, start+count) as a float mask (B, T)."""
+def _uniform_span(key, b: int, t: int, ratio: float):
+    """Random contiguous span per sample: ``count = int(U(0, ratio)·T)``,
+    ``start = int(U[0, T−count))`` — transforms.py span convention.
+    Returns (mask(B,T) float, start(B,), count(B,))."""
     k1, k2 = jax.random.split(key)
-    count = (jax.random.uniform(k1, shape_prefix) * ratio * t).astype(
-        jnp.int32)
-    start = (jax.random.uniform(k2, shape_prefix)
+    count = (jax.random.uniform(k1, (b,)) * ratio * t).astype(jnp.int32)
+    start = (jax.random.uniform(k2, (b,))
              * (t - count).astype(jnp.float32)).astype(jnp.int32)
     j = jnp.arange(t)
-    return ((j[None, :] >= start[:, None])
-            & (j[None, :] < (start + count)[:, None])).astype(jnp.float32), \
-        start
+    mask = ((j[None, :] >= start[:, None])
+            & (j[None, :] < (start + count)[:, None])).astype(jnp.float32)
+    return mask, start, count
 
 
-def make_strong_ops(ops_cfg: List[Dict[str, Any]], fs: int = 250
-                    ) -> List[Callable]:
-    """Build the device-side equivalents of the RandAugment op list."""
-    ops = []
-    for entry in ops_cfg:
-        name, kwargs = list(entry.items())[0] if isinstance(entry, dict) \
-            else (entry, {})
-        kwargs = kwargs or {}
-        if name == "AmplitudeScaling":
-            sigma = kwargs.get("sigma", 0.5)
+# kept under its original name: external tests/users build on it
+def _span_mask(key, t: int, ratio: float, shape_prefix):
+    mask, start, _ = _uniform_span(key, shape_prefix[0], t, ratio)
+    return mask, start
 
-            def amp(key, x, sigma=sigma):
-                return x * jax.random.normal(key, x.shape) * sigma + x
 
-            ops.append(amp)
-        elif name == "AdaptivePowerlineNoise":
-            op_fs = kwargs.get("fs", fs)
+# ---------------------------------------------------------------------------
+# Device op registry
+# ---------------------------------------------------------------------------
 
-            def powerline(key, x, op_fs=op_fs):
-                b, c, t = x.shape
-                k1, _ = jax.random.split(key)
-                hi = jnp.percentile(x, 95, axis=2, keepdims=True)
-                lo = jnp.percentile(x, 5, axis=2, keepdims=True)
-                amplitude = (hi - lo) / 2
-                freq = jnp.where(jax.random.uniform(k1, (b, 1, 1)) < 0.5,
-                                 50.0, 60.0)
-                tt = (jnp.arange(t) / op_fs)[None, None, :]
-                return x + amplitude * jnp.sin(2 * jnp.pi * freq * tt)
 
-            ops.append(powerline)
-        elif name in ("RandomPartialWhiteNoise", "RandomPartialSineNoise",
-                      "WhiteNoise", "SineNoise"):
-            amplitude = kwargs.get("amplitude", 1.0)
-            freq = kwargs.get("freq", 0.5)
-            ratio = kwargs.get("ratio", 0.5)
-            partial = name.startswith("RandomPartial")
-            sine = "Sine" in name
+@dataclass(frozen=True)
+class DeviceOp:
+    """One batched augmentation: ``apply(key, x, y) -> (x, y)`` on
+    (B, C, T) signals / (B, T) labels (y may be None)."""
 
-            def noise(key, x, amplitude=amplitude, freq=freq, ratio=ratio,
-                      partial=partial, sine=sine):
-                b, c, t = x.shape
-                k1, k2 = jax.random.split(key)
-                if sine:
-                    tt = (jnp.arange(t) / t)[None, None, :]
-                    n = amplitude * jnp.sin(2 * jnp.pi * tt / freq)
-                    n = jnp.broadcast_to(n, x.shape)
-                else:
-                    n = amplitude * jax.random.normal(k1, x.shape)
-                if partial:
-                    mask, start = _span_mask(k2, t, ratio, (b,))
-                    # reference writes noise[:, :count] into the span — for
-                    # sine that shifts phase; white noise is shift-invariant
-                    if sine:
-                        j = jnp.arange(t)[None, :]
-                        shifted = (j - start[:, None]) % t
-                        n = jnp.take_along_axis(
-                            n, jnp.broadcast_to(shifted[:, None, :],
-                                                (b, c, t)), axis=2)
-                    n = n * mask[:, None, :]
-                return x + n
+    apply: Callable
+    label_changeable: bool = False
 
-            ops.append(noise)
-        elif name == "YFlip":
-            def yflip(key, x):
-                return -x
 
-            ops.append(yflip)
+def _signal_only(fn: Callable) -> DeviceOp:
+    return DeviceOp(apply=lambda key, x, y, _fn=fn: (_fn(key, x), y))
+
+
+def _noise_level(kwargs: Dict[str, Any], level: Optional[int]):
+    """amplitude/freq after RandAugment magnitude (transforms._Noise
+    .set_level: amplitude = level/10, freq = 0.5 / (level/10))."""
+    if level is None:
+        return kwargs.get("amplitude", 1.0), kwargs.get("freq", 0.5)
+    frac = level / MAX_LEVEL
+    return frac * 1.0, 0.5 / frac
+
+
+def _wave(name: str, t: int, amplitude: float, freq: float) -> jnp.ndarray:
+    """Deterministic (1, 1, T) waveform for sine/square noise."""
+    tt = jnp.arange(t) / t
+    phase_frac = (tt / freq) % 1.0
+    if name == "sine":
+        w = jnp.sin(2 * jnp.pi * tt / freq)
+    else:  # square: +1 for phase in [0, pi), -1 in [pi, 2*pi)
+        w = jnp.where(phase_frac < 0.5, 1.0, -1.0)
+    return (amplitude * w)[None, None, :]
+
+
+def _make_noise_op(kind: str, partial: bool, kwargs: Dict[str, Any],
+                   level: Optional[int]) -> DeviceOp:
+    amplitude, freq = _noise_level(kwargs, level)
+    ratio = kwargs.get("ratio", 0.5)
+    if level is not None:
+        ratio = level / MAX_LEVEL * 0.5  # _RandomPartialNoise.set_level
+
+    def noise(key, x):
+        b, c, t = x.shape
+        k1, k2 = jax.random.split(key)
+        if kind == "white":
+            n = amplitude * jax.random.normal(k1, x.shape)
         else:
-            raise ValueError(
-                f"device_augment does not support strong op '{name}'; "
-                "disable dataset.device_augment to use the host pipeline"
-            )
-    return ops
+            n = jnp.broadcast_to(_wave(kind, t, amplitude, freq), x.shape)
+        if partial:
+            mask, start, _ = _uniform_span(k2, b, t, ratio)
+            if kind != "white":
+                # reference writes noise[:, :count] into the span — the
+                # waveform restarts at phase 0 there; white noise is
+                # shift-invariant so only deterministic waves need the roll
+                j = jnp.arange(t)[None, :]
+                shifted = (j - start[:, None]) % t
+                n = jnp.take_along_axis(
+                    n, jnp.broadcast_to(shifted[:, None, :], (b, c, t)),
+                    axis=2)
+            n = n * mask[:, None, :]
+        return x + n
+
+    return _signal_only(noise)
 
 
-def rand_augment_batch(key, x: jnp.ndarray, ops: List[Callable],
-                       num_layers: int, prob: float) -> jnp.ndarray:
+def _make_device_op(name: str, kwargs: Dict[str, Any],
+                    level: Optional[int] = None) -> Optional[DeviceOp]:
+    """Device equivalent of one transform config entry, or None when the op
+    only exists on the host (filters, resampling, crops, to_tensor).
+
+    ``level`` is the RandAugment magnitude; when set it overrides the
+    statistical knobs exactly like ``Transform.set_level`` does."""
+    kwargs = dict(kwargs or {})
+
+    if name in ("amplitude_scaling", "AmplitudeScaling"):
+        sigma = kwargs.get("sigma", 0.5)
+        if level is not None:
+            sigma = level / MAX_LEVEL * 0.5
+
+        def amp(key, x, sigma=sigma):
+            return x * (1.0 + sigma * jax.random.normal(key, x.shape))
+
+        return _signal_only(amp)
+
+    if name in ("xflip", "XFlip"):
+        def xflip(key, x, y):
+            x = jnp.flip(x, axis=-1)
+            return x, (None if y is None else jnp.flip(y, axis=-1))
+
+        return DeviceOp(apply=xflip, label_changeable=True)
+
+    if name in ("yflip", "YFlip"):
+        return _signal_only(lambda key, x: -x)
+
+    if name in ("drop", "RandomMask"):
+        ratio = kwargs.get("mask_ratio", 0.3)
+
+        def drop(key, x, ratio=ratio):
+            b, c, t = x.shape
+            k1, k2 = jax.random.split(key)
+            max_count = max(int(t * ratio), 1)
+            count = (jax.random.uniform(k1, (b,)) * max_count).astype(
+                jnp.int32)
+            # rank of each time point among per-sample uniforms: the
+            # ``count`` smallest ranks are the masked points — a batched
+            # choice-without-replacement
+            u = jax.random.uniform(k2, (b, t))
+            rank = jnp.argsort(jnp.argsort(u, axis=1), axis=1)
+            keep = (rank >= count[:, None])[:, None, :]
+            return x * keep
+
+        return _signal_only(drop)
+
+    if name in ("cutout", "Cutout"):
+        ratio = kwargs.get("mask_ratio", 0.3)
+
+        def cutout(key, x, y, ratio=ratio):
+            b, c, t = x.shape
+            mask, _, _ = _uniform_span(key, b, t, ratio)
+            x = x * (1.0 - mask[:, None, :])
+            if y is not None:
+                y = jnp.where(mask.astype(bool), 0, y)  # cut label -> bg
+            return x, y
+
+        return DeviceOp(apply=cutout, label_changeable=True)
+
+    if name in ("shift", "RandomShift"):
+        ratio = kwargs.get("mask_ratio", 0.3)
+
+        def shift(key, x, y, ratio=ratio):
+            b, c, t = x.shape
+            k1, k2 = jax.random.split(key)
+            amount = (jax.random.uniform(k1, (b,)) * ratio * t).astype(
+                jnp.int32)
+            right = jax.random.bernoulli(k2, 0.5, (b,))
+            signed = jnp.where(right, amount, -amount)[:, None]
+            j = jnp.arange(t)[None, :]
+            src = j - signed                       # out[j] = in[j - s]
+            valid = (src >= 0) & (src < t)
+            src = jnp.clip(src, 0, t - 1)
+            xg = jnp.take_along_axis(
+                x, jnp.broadcast_to(src[:, None, :], (b, c, t)), axis=2)
+            x = jnp.where(valid[:, None, :], xg, 0.0)
+            if y is not None:
+                yg = jnp.take_along_axis(y, src, axis=1)
+                y = jnp.where(valid, yg, 0)
+            return x, y
+
+        return DeviceOp(apply=shift, label_changeable=True)
+
+    if name in ("random_baseline_shift", "RandomBaselineShift"):
+        ratio = kwargs.get("ratio", 0.5)
+        scale = kwargs.get("scale", 3.0)
+        if level is not None:
+            ratio = level / MAX_LEVEL * 0.5
+            scale = level / MAX_LEVEL * 3.0
+
+        def baseline(key, x, ratio=ratio, scale=scale):
+            b, c, t = x.shape
+            k1, k2, k3 = jax.random.split(key, 3)
+            background = jnp.median(x, axis=2, keepdims=True)   # per lead
+            mask, _, _ = _uniform_span(k1, b, t, ratio)
+            sign = 1.0 - 2.0 * jax.random.bernoulli(
+                k2, 0.5, (b,)).astype(jnp.float32)
+            amt = jax.random.uniform(k3, (b,)) * scale * sign
+            return x + background * amt[:, None, None] * mask[:, None, :]
+
+        return _signal_only(baseline)
+
+    if name in ("adaptive_powerline_noise", "AdaptivePowerlineNoise"):
+        op_fs = kwargs.get("fs", 500)
+
+        def powerline(key, x, op_fs=op_fs):
+            b, c, t = x.shape
+            hi = jnp.percentile(x, 95, axis=2, keepdims=True)
+            lo = jnp.percentile(x, 5, axis=2, keepdims=True)
+            mains = jnp.where(jax.random.uniform(key, (b, 1, 1)) < 0.5,
+                              50.0, 60.0)
+            tt = (jnp.arange(t) / op_fs)[None, None, :]
+            return x + 0.5 * (hi - lo) * jnp.sin(2 * jnp.pi * mains * tt)
+
+        return _signal_only(powerline)
+
+    if name in ("sine_noise", "SineNoise"):
+        return _make_noise_op("sine", False, kwargs, level)
+    if name in ("square_noise", "SquareNoise"):
+        return _make_noise_op("square", False, kwargs, level)
+    if name in ("white_noise", "WhiteNoise"):
+        return _make_noise_op("white", False, kwargs, level)
+    if name in ("partial_sine_noise", "RandomPartialSineNoise"):
+        return _make_noise_op("sine", True, kwargs, level)
+    if name in ("partial_square_noise", "RandomPartialSquareNoise"):
+        return _make_noise_op("square", True, kwargs, level)
+    if name in ("partial_white_noise", "RandomPartialWhiteNoise"):
+        return _make_noise_op("white", True, kwargs, level)
+
+    if name in ("standardize", "Standardize"):
+        axis = kwargs.get("axis", (-1, -2))
+        axis = tuple(axis) if isinstance(axis, (list, tuple)) else (axis,)
+        if sorted(axis) not in ([-2, -1], [-1]):
+            return None  # exotic axes stay on the host
+
+        def std(key, x):
+            return standardize_batch(x)
+
+        return _signal_only(std)
+
+    if name in ("random_resize_crop", "RandomResizeCrop"):
+        rrc_kwargs = kwargs
+
+        def rrc(key, x, y, rrc_kwargs=rrc_kwargs):
+            return random_resize_crop_batch(key, x, y, **rrc_kwargs)
+
+        return DeviceOp(apply=rrc, label_changeable=True)
+
+    if name == "RandomApply":
+        inner_entry = kwargs.get("transform")
+        prob = kwargs.get("prob", 0.5)
+        if inner_entry is None:
+            return None
+        iname, ikwargs = _entry_name_kwargs(inner_entry)
+        inner = _make_device_op(iname, ikwargs, level)
+        if inner is None:
+            return None
+
+        def rapply(key, x, y, inner=inner, prob=prob):
+            k_gate, k_op = jax.random.split(key)
+            gate = jax.random.uniform(k_gate, (x.shape[0],)) < prob
+            xi, yi = inner.apply(k_op, x, y)
+            x = jnp.where(gate[:, None, None], xi, x)
+            if y is not None and yi is not None:
+                y = jnp.where(gate[:, None], yi, y)
+            return x, y
+
+        return DeviceOp(apply=rapply,
+                        label_changeable=inner.label_changeable)
+
+    if name == "RandAugment":
+        ops_cfg = kwargs.get("ops")
+        if not ops_cfg:
+            return None
+        ra_level = kwargs.get("level", 10)
+        num_layers = kwargs.get("num_layers", 2)
+        prob = kwargs.get("prob", 0.5)
+        members: List[DeviceOp] = []
+        for entry in ops_cfg:
+            ename, ekwargs = _entry_name_kwargs(entry)
+            op = _make_device_op(ename, ekwargs, level=ra_level)
+            if op is None:
+                return None
+            members.append(op)
+
+        def ra(key, x, y, members=members, num_layers=num_layers, prob=prob):
+            return _rand_augment(key, x, y, members, num_layers, prob)
+
+        return DeviceOp(
+            apply=ra,
+            label_changeable=any(m.label_changeable for m in members))
+
+    return None  # host-only op (filters, crops, resample, to_tensor, ...)
+
+
+def _rand_augment(key, x, y, ops: List[DeviceOp], num_layers: int,
+                  prob: float):
     """Per-sample N-of-K RandAugment (transforms.py:628-657): choose
     ``num_layers`` distinct ops via Gumbel top-k, gate each by ``prob``."""
     b = x.shape[0]
@@ -204,73 +428,202 @@ def rand_augment_batch(key, x: jnp.ndarray, ops: List[Callable],
     applied = selected & (jax.random.uniform(k_prob, (b, len(ops))) < prob)
     op_keys = jax.random.split(k_ops, len(ops))
     for i, op in enumerate(ops):
-        xi = op(op_keys[i], x)
+        xi, yi = op.apply(op_keys[i], x, y)
         x = jnp.where(applied[:, i][:, None, None], xi, x)
-    return x
+        if y is not None and yi is not None:
+            y = jnp.where(applied[:, i][:, None], yi, y)
+    return x, y
 
 
-def build_device_augment(dataset_cfg: Dict[str, Any]):
-    """Config → jit-able ``augment(key, batch) -> batch``.
+def _apply_chain(key, ops: List[DeviceOp], x, y=None):
+    if not ops:
+        return x, y
+    for k, op in zip(jax.random.split(key, len(ops)), ops):
+        x, y = op.apply(k, x, y)
+    return x, y
 
-    The incoming batch holds raw views (``ecg`` labeled, ``ecg_u_w``
-    unlabeled — post resample/filter, pre augmentation/standardize); the
-    output matches the host pipeline's contract: weak-augmented +
-    standardized ``ecg``/``target``/``ecg_u_w`` and a strong view
-    ``ecg_u_s`` built on top of the weak view (semi_dataset.py:240-243).
+
+def _entry_name_kwargs(entry) -> Tuple[str, Dict[str, Any]]:
+    if isinstance(entry, str):
+        return entry, {}
+    name, kwargs = list(entry.items())[0]
+    return name, (kwargs or {})
+
+
+def _build_chain(cfg_list) -> Optional[List[DeviceOp]]:
+    """Device ops for a whole transform chain, or None if ANY entry lacks a
+    device equivalent (that chain then runs on the host)."""
+    ops = []
+    for entry in cfg_list or []:
+        name, kwargs = _entry_name_kwargs(entry)
+        op = _make_device_op(name, kwargs)
+        if op is None:
+            return None
+        ops.append(op)
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# Pipeline split planning
+# ---------------------------------------------------------------------------
+
+_TO_TENSOR_ONLY = [{"to_tensor": {"dtype": "float"}}]
+
+
+@dataclass
+class DeviceAugPlan:
+    """How ``device_augment: true`` splits a dataset config.
+
+    ``labeled_overrides`` / ``unlabeled_overrides`` are merged over the
+    dataset config when building the *train* datasets (eval always uses the
+    plain host path); ``augment`` is the jit-able ``(key, batch) -> batch``
+    device stage (None when everything stayed on the host)."""
+
+    labeled_overrides: Dict[str, Any] = field(default_factory=dict)
+    unlabeled_overrides: Dict[str, Any] = field(default_factory=dict)
+    augment: Optional[Callable] = None
+    summary: str = "host-only"
+
+
+def plan_device_augment(dataset_cfg: Dict[str, Any]) -> DeviceAugPlan:
+    """Split the augmentation pipeline between host and device.
+
+    Branch rules (the strong view builds ON TOP of the weak view,
+    semi_dataset.py:240-243, which constrains the split):
+
+    - weak chain on device -> labeled + unlabeled ship raw signals.
+    - weak on host but strong on device -> unlabeled ships the host-weak
+      view *pre-standardize* (the strong view must derive from it).
+    - strong on host but weak on device -> the unlabeled branch falls back
+      to the full host path (the host can't strong-augment a view that
+      only exists on device); the labeled branch still fuses.
+    - ``transforms`` other than standardize/to_tensor -> full host fallback.
     """
     aug_cfg = dataset_cfg.get("augmentations") or []
-    rrc_kwargs = None
-    for entry in aug_cfg:
-        name, kwargs = list(entry.items())[0] if isinstance(entry, dict) \
-            else (entry, {})
-        if name == "random_resize_crop":
-            rrc_kwargs = kwargs or {}
-        else:
-            raise ValueError(
-                f"device_augment does not support weak op '{name}'"
-            )
     strong_cfg = dataset_cfg.get("strong_augmentations") or []
-    strong_ops = None
-    ra_layers, ra_prob = 2, 0.5
-    for entry in strong_cfg:
-        name, kwargs = list(entry.items())[0]
-        if name != "RandAugment":
-            raise ValueError(
-                f"device_augment does not support strong op '{name}'"
-            )
-        level = kwargs.get("level", 10)
-        ra_layers = kwargs.get("num_layers", 2)
-        ra_prob = kwargs.get("prob", 0.5)
-        ops_cfg = kwargs["ops"]
-        # apply RandAugment magnitude to AmplitudeScaling like set_level
-        scaled_cfg = []
-        for op in ops_cfg:
-            op_name, op_kwargs = list(op.items())[0]
-            op_kwargs = dict(op_kwargs or {})
-            if op_name == "AmplitudeScaling":
-                op_kwargs["sigma"] = level / 10 * 0.5
-            scaled_cfg.append({op_name: op_kwargs})
-        strong_ops = make_strong_ops(scaled_cfg)
+    transforms_cfg = dataset_cfg.get("transforms") or _TO_TENSOR_ONLY
+
+    transforms_ok = True
+    for entry in transforms_cfg:
+        name, kwargs = _entry_name_kwargs(entry)
+        if name == "to_tensor":
+            continue
+        if _make_device_op(name, kwargs) is None:
+            transforms_ok = False
+    if not transforms_ok:
+        return DeviceAugPlan(summary="host-only (unsupported transforms)")
+
+    weak_ops = _build_chain(aug_cfg)
+    strong_ops = _build_chain(strong_cfg) if strong_cfg else []
+    weak_dev = weak_ops is not None
+    strong_dev = strong_ops is not None and bool(strong_cfg)
+
+    labeled_device = weak_dev
+    unlab_weak_device = weak_dev and (strong_dev or not strong_cfg)
+    # weak on device + strong host-only is unservable for unlabeled: full
+    # host fallback there (see docstring)
+    device_strong = strong_dev
+
+    labeled_overrides: Dict[str, Any] = {}
+    unlabeled_overrides: Dict[str, Any] = {}
+    if labeled_device:
+        labeled_overrides = {
+            "augmentations": None,
+            # the labeled view's strong branch is never consumed
+            # (combined_batches reads only the unlabeled one) — skip it
+            "strong_augmentations": None,
+            "transforms": _TO_TENSOR_ONLY,
+        }
+    if unlab_weak_device:
+        unlabeled_overrides = {
+            "augmentations": None,
+            "strong_augmentations": None,
+            "transforms": _TO_TENSOR_ONLY,
+        }
+    elif device_strong:
+        # host computes the weak view but must NOT standardize it: the
+        # device builds the strong view on top, then standardizes both
+        unlabeled_overrides = {
+            "strong_augmentations": None,
+            "transforms": _TO_TENSOR_ONLY,
+        }
+
+    unlab_std_device = unlab_weak_device or device_strong
+    if not (labeled_device or unlab_std_device):
+        return DeviceAugPlan(summary="host-only (unsupported augmentations)")
 
     def augment(key, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         out = dict(batch)
         k_lab, k_unlab, k_strong = jax.random.split(key, 3)
-        if "ecg" in batch:
-            x, y = batch["ecg"], batch.get("target")
-            if rrc_kwargs is not None:
-                x, y = random_resize_crop_batch(k_lab, x, y, **rrc_kwargs)
+        if labeled_device and "ecg" in batch:
+            x, y = _apply_chain(k_lab, weak_ops, batch["ecg"],
+                                batch.get("target"))
             out["ecg"] = standardize_batch(x)
             if y is not None:
                 out["target"] = y
-        if "ecg_u_w" in batch:
+        if "ecg_u_w" in batch and unlab_std_device:
             u = batch["ecg_u_w"]
-            if rrc_kwargs is not None:
-                u, _ = random_resize_crop_batch(k_unlab, u)
+            if unlab_weak_device:
+                u, _ = _apply_chain(k_unlab, weak_ops, u)
             out["ecg_u_w"] = standardize_batch(u)
-            if strong_ops is not None:
-                u_s = rand_augment_batch(k_strong, u, strong_ops, ra_layers,
-                                         ra_prob)
+            if device_strong:
+                u_s, _ = _apply_chain(k_strong, strong_ops, u)
                 out["ecg_u_s"] = standardize_batch(u_s)
         return out
 
-    return augment
+    parts = []
+    parts.append("weak=device" if weak_dev else "weak=host")
+    if strong_cfg:
+        parts.append("strong=device" if device_strong else "strong=host")
+    if weak_dev and strong_cfg and not device_strong:
+        parts.append("unlabeled=host (strong chain unsupported)")
+    return DeviceAugPlan(
+        labeled_overrides=labeled_overrides,
+        unlabeled_overrides=unlabeled_overrides,
+        augment=augment,
+        summary=", ".join(parts),
+    )
+
+
+def build_device_augment(dataset_cfg: Dict[str, Any]):
+    """Config → jit-able ``augment(key, batch) -> batch`` (or None when the
+    whole pipeline stays host-side).
+
+    The incoming batch holds the host-produced views (``ecg`` labeled,
+    ``ecg_u_w`` unlabeled — raw when the weak chain runs on device,
+    host-weak-augmented otherwise); the output matches the host pipeline's
+    contract: weak-augmented + standardized ``ecg``/``target``/``ecg_u_w``
+    and a strong view ``ecg_u_s`` built on top of the weak view
+    (semi_dataset.py:240-243).
+    """
+    return plan_device_augment(dataset_cfg).augment
+
+
+# ---------------------------------------------------------------------------
+# Back-compat helpers (kept for tests / external users)
+# ---------------------------------------------------------------------------
+
+
+def make_strong_ops(ops_cfg: List[Dict[str, Any]], fs: int = 250
+                    ) -> List[Callable]:
+    """Signal-only device callables for a RandAugment op list."""
+    ops = []
+    for entry in ops_cfg:
+        name, kwargs = _entry_name_kwargs(entry)
+        if name == "AdaptivePowerlineNoise":
+            kwargs = {"fs": fs, **(kwargs or {})}
+        op = _make_device_op(name, kwargs)
+        if op is None:
+            raise ValueError(
+                f"no device equivalent for strong op '{name}'")
+        ops.append(lambda key, x, _op=op: _op.apply(key, x, None)[0])
+    return ops
+
+
+def rand_augment_batch(key, x: jnp.ndarray, ops: List[Callable],
+                       num_layers: int, prob: float) -> jnp.ndarray:
+    """Per-sample N-of-K RandAugment over signal-only callables."""
+    wrapped = [DeviceOp(apply=lambda k, xx, yy, _f=f: (_f(k, xx), yy))
+               for f in ops]
+    out, _ = _rand_augment(key, x, None, wrapped, num_layers, prob)
+    return out

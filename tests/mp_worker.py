@@ -1,0 +1,115 @@
+"""Worker process for tests/test_multiprocess.py.
+
+Each worker is one JAX *process* of a 2-process, 8-device CPU cluster
+(4 local devices each) — the CPU analogue of the reference's multi-node
+NCCL setup (src/utils/misc.py:209-233). The parent test computes golden
+single-process results; workers re-run the multi-process code paths
+(`_host_shard_args`, `shard_batch`, `evaluate`, `_allgather_rows`,
+rank-0 checkpointing) and rank 0 compares bitwise.
+
+Invoked as: python mp_worker.py <process_id> <coordinator_port> <workdir>
+"""
+
+import os
+import pickle
+import sys
+
+
+def main() -> None:
+    pid, port, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2 and jax.device_count() == 8
+    assert len(jax.local_devices()) == 4
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from semi_seg_ecg_tpu.algorithms.common import (
+        _allgather_rows, _host_shard_args, evaluate, init_model_state,
+    )
+    from semi_seg_ecg_tpu.data.dataset import build_seg_dataset
+    from semi_seg_ecg_tpu.data.loader import get_dataloader
+    from semi_seg_ecg_tpu.models import build_model_from_config
+    from semi_seg_ecg_tpu.ops.metrics import build_metric_fn
+    from semi_seg_ecg_tpu.parallel.dist import is_main_process
+    from semi_seg_ecg_tpu.parallel.mesh import (
+        data_parallel_size, make_mesh, shard_batch,
+    )
+    from semi_seg_ecg_tpu.utils import checkpoint as ckpt
+
+    with open(os.path.join(workdir, "config.pkl"), "rb") as f:
+        config = pickle.load(f)
+
+    mesh = make_mesh(config)
+    num_shards = data_parallel_size(mesh)
+    assert num_shards == 8
+
+    # --- 1. loader shards: disjoint across processes, covering the range --
+    sa = _host_shard_args(num_shards)
+    assert sa["local_shards"] == 4
+    mine = np.arange(sa["shard_offset"], sa["shard_offset"] + 4)
+    every = multihost_utils.process_allgather(mine).reshape(-1)
+    assert sorted(every.tolist()) == list(range(num_shards)), every
+
+    # --- 2. shard_batch assembles the global array from per-host slices ---
+    local = np.repeat(mine[:, None].astype(np.float32), 3, axis=1)
+    garr = shard_batch(mesh, {"x": local})["x"]
+    assert garr.shape == (8, 3)
+    total = float(jax.jit(lambda a: a.sum())(garr))
+    assert total == float(np.arange(8).sum() * 3), total
+
+    # --- 3. _allgather_rows scatters peers' rows in place -----------------
+    rows = np.arange(pid * 5, pid * 5 + 5)
+    buf = np.zeros((10, 2))
+    buf[rows] = rows[:, None] + np.array([0.25, 0.5])
+    _allgather_rows(rows, [buf])
+    np.testing.assert_array_equal(
+        buf, np.arange(10)[:, None] + np.array([0.25, 0.5]))
+
+    # --- 4. sharded evaluate == single-process golden (bitwise) -----------
+    model = build_model_from_config(config, train=False)
+    model_state = init_model_state(model, config, config["seed"])
+    ds = build_seg_dataset(config["dataset"], split="valid")
+    loader = get_dataloader(
+        ds, mode="valid", batch_size=config["dataloader"]["batch_size"],
+        seed=config["seed"], num_shards=num_shards, num_workers=2,
+        rng_salt=2, **sa,
+    )
+    metric_fn, _ = build_metric_fn(config["metric"])
+    valid_stats, metrics, outputs, labels = evaluate(
+        model, model_state, loader, metric_fn, mesh,
+        config["metric"]["num_classes"], collect_outputs=True,
+    )
+    if is_main_process():
+        golden = np.load(os.path.join(workdir, "golden.npz"))
+        assert valid_stats["loss"] == float(golden["loss"]), \
+            (valid_stats["loss"], float(golden["loss"]))
+        for name, got in metrics.items():
+            np.testing.assert_array_equal(got, golden[f"metric_{name}"])
+        np.testing.assert_array_equal(outputs, golden["outputs"])
+        np.testing.assert_array_equal(labels, golden["labels"])
+
+    # --- 5. checkpoints are written by rank 0 only ------------------------
+    assert is_main_process() == (pid == 0)
+    path = os.path.join(workdir, "mp-ckpt.ckpt")
+    ckpt.save_checkpoint(path, epoch=0, model_state=model_state)
+    multihost_utils.sync_global_devices("ckpt-written")
+    assert os.path.exists(path)
+    payload = ckpt.load_checkpoint(path)
+    assert payload["epoch"] == 0
+
+    with open(os.path.join(workdir, f"ok{pid}"), "w") as f:
+        f.write("ok")
+    print(f"WORKER{pid}-OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Whole-system training throughput: loader + H2D + train step + eval.
+
+The headline ``bench.py`` isolates compute; this tool measures the number a
+user actually sees — FixMatch training driven end-to-end through
+``run_training`` on a 512-record synthetic LUDB-shaped dataset, across the
+input-path modes:
+
+- ``host``          host augmentation (reference-equivalent path)
+- ``device``        ``dataset.device_augment`` (raw prefix shipped per step)
+- ``device+scan``   + ``train.scan_steps`` (K steps per dispatch)
+- ``cache``         + ``dataset.device_cache`` (whole prefix HBM-resident,
+                    steps ship int32 indices only)
+- ``cache+scan``    both
+
+Timing is slope-based (run 2 epochs, then 6; the difference is 4 steady
+epochs) so compile time and the first-epoch prefix-cache fill cancel out.
+
+Run: ``python tools/bench_e2e.py [--modes host,cache+scan] [--length 2500]``
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __graft_entry__ import _flagship_config  # noqa: E402
+
+MODES = ("host", "device", "device+scan", "cache", "cache+scan")
+
+
+def make_config(data_cfg, out_dir, mode, epochs, length, scan_steps):
+    config = _flagship_config(signal_length=length)
+    config.update({
+        "output_dir": out_dir,
+        "exp_name": f"bench_{mode.replace('+', '_')}_{epochs}",
+        "resume": None,
+        "start_epoch": 0,
+        "use_amp": True,
+        "pretrained_backbone": None,
+        "test": {"target_metric": "MeanIoU"},
+        "async_checkpoint": True,
+    })
+    config["dataset"] = {
+        **data_cfg,
+        "signal_length": length,
+        "device_augment": mode != "host",
+        "device_cache": mode.startswith("cache"),
+    }
+    config["dataloader"] = {"batch_size": 16, "num_workers": 8}
+    config["train"]["epochs"] = epochs
+    config["train"]["warmup_epochs"] = 0
+    if mode.endswith("scan"):
+        config["train"]["scan_steps"] = scan_steps
+    config["metric"].update({
+        "include_background": True, "per_class": False,
+        "input_format": "one-hot",
+    })
+    return config
+
+
+def run_once(data_cfg, out_dir, mode, epochs, length, scan_steps) -> float:
+    from semi_seg_ecg_tpu.algorithms import get_algorithm
+
+    config = make_config(data_cfg, out_dir, mode, epochs, length, scan_steps)
+    t0 = time.perf_counter()
+    get_algorithm("fixmatch").train(config)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default=",".join(MODES))
+    ap.add_argument("--length", type=int, default=2500)
+    ap.add_argument("--records", type=int, default=512)
+    ap.add_argument("--scan-steps", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=2,
+                    help="short run length; long run adds 4 epochs")
+    args = ap.parse_args()
+
+    from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
+    from semi_seg_ecg_tpu.utils.logging import set_logging_enabled
+
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    data_cfg = make_synthetic_dataset(
+        os.path.join(root, "data"), num_train_labeled=64,
+        num_train_unlabeled=args.records, num_valid=8, num_test=8,
+        length=args.length, seed=0,
+    )
+    steps_per_epoch = args.records // 16
+    set_logging_enabled(False)  # keep the per-epoch meter quiet
+
+    results = {}
+    for mode in args.modes.split(","):
+        short = run_once(data_cfg, root, mode, args.epochs, args.length,
+                         args.scan_steps)
+        long = run_once(data_cfg, root, mode, args.epochs + 4, args.length,
+                        args.scan_steps)
+        steady = (long - short) / 4
+        sps = steps_per_epoch * 16 / steady
+        results[mode] = round(sps, 1)
+        print(json.dumps({"mode": mode, "samples_per_sec": round(sps, 1),
+                          "sec_per_epoch": round(steady, 2)}), flush=True)
+    print(json.dumps({"metric": "fixmatch_e2e_samples_per_sec",
+                      "results": results}))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
