@@ -649,9 +649,13 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
                     os.path.join(out_dir, f"best-{metric_name}.ckpt"))
             log(f"Best {metric_name}: {best_metrics[metric_name]:.3f}")
         if save_paths:
-            host_state = jax.device_get(state)
+            # device-side snapshot (HBM copy, microseconds): the writer
+            # thread fetches it D2H in the background, so checkpointing
+            # never blocks the epoch loop on host-link bandwidth, and the
+            # copies are immune to next-step buffer donation
+            snap_state = jax.tree.map(jnp.copy, state)
             for path in save_paths:
-                _save(config, path, epoch, host_state,
+                _save(config, path, epoch, snap_state,
                       {"loss": curr_loss, **metrics})
 
         if log_writer is not None:
@@ -680,6 +684,7 @@ def _save(config, path, epoch, state: TrainState, metrics):
         peer_opt_state=state.peer_opt_state, step=int(state.step),
         async_write=bool(config.get("async_checkpoint", True)),
         backend=config.get("checkpoint_backend", "pickle"),
+        defer_host_fetch=True,  # state is a device-side snapshot
     )
 
 

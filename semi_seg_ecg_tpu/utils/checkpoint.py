@@ -104,35 +104,41 @@ def save_checkpoint(
     step: Optional[int] = None,
     async_write: bool = False,
     backend: str = "pickle",
+    defer_host_fetch: bool = False,
 ) -> None:
     if not is_main_process():
         return
-    payload: Dict[str, Any] = {
-        "epoch": epoch,
-        "step": int(step) if step is not None else None,
-        "model": {
-            "params": _to_host(model_state.params),
-            "batch_stats": _to_host(model_state.batch_stats),
-        },
-        "config": config,
-    }
-    if opt_state is not None:
-        payload["optimizer"] = jax.tree.leaves(_to_host(opt_state))
-    if metrics is not None:
-        payload["metrics"] = metrics
-    if ema_state is not None:
-        payload["model_ema"] = {
-            "params": _to_host(ema_state.params),
-            "batch_stats": _to_host(ema_state.batch_stats),
+
+    def build_payload() -> Dict[str, Any]:
+        payload: Dict[str, Any] = {
+            "epoch": epoch,
+            "step": int(step) if step is not None else None,
+            "model": {
+                "params": _to_host(model_state.params),
+                "batch_stats": _to_host(model_state.batch_stats),
+            },
+            "config": config,
         }
-    if peer_state is not None:
-        payload["model_peer"] = {
-            "params": _to_host(peer_state.params),
-            "batch_stats": _to_host(peer_state.batch_stats),
-        }
-        if peer_opt_state is not None:
-            payload["peer_optimizer"] = jax.tree.leaves(_to_host(peer_opt_state))
-    def write():
+        if opt_state is not None:
+            payload["optimizer"] = jax.tree.leaves(_to_host(opt_state))
+        if metrics is not None:
+            payload["metrics"] = metrics
+        if ema_state is not None:
+            payload["model_ema"] = {
+                "params": _to_host(ema_state.params),
+                "batch_stats": _to_host(ema_state.batch_stats),
+            }
+        if peer_state is not None:
+            payload["model_peer"] = {
+                "params": _to_host(peer_state.params),
+                "batch_stats": _to_host(peer_state.batch_stats),
+            }
+            if peer_opt_state is not None:
+                payload["peer_optimizer"] = jax.tree.leaves(
+                    _to_host(peer_opt_state))
+        return payload
+
+    def write(payload: Dict[str, Any]) -> None:
         if backend == "orbax":
             _save_checkpoint_orbax(path, payload)
         else:
@@ -142,14 +148,19 @@ def save_checkpoint(
             os.replace(tmp, path)  # atomic: no torn ckpts on preemption
         _record_written(path)
 
-    if async_write:
-        # the device→host fetch above already snapshotted every array, so
-        # the disk write can overlap the next epoch (TPU-friendly async
-        # checkpointing; join via wait_for_pending())
+    if async_write and defer_host_fetch:
+        # the caller passed device-side snapshots (safe against donation):
+        # the writer thread pulls them D2H off the critical path, so a slow
+        # host link never stalls the epoch loop
         _ensure_worker()
-        _QUEUE.put(write)
+        _QUEUE.put(lambda: write(build_payload()))
+    elif async_write:
+        # fetch now (arrays may be donated to the next step), write later
+        payload = build_payload()
+        _ensure_worker()
+        _QUEUE.put(lambda: write(payload))
     else:
-        write()
+        write(build_payload())
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:

@@ -50,6 +50,28 @@ def make_config(data_cfg, out_dir, mode, epochs, length, scan_steps):
         "signal_length": length,
         "device_augment": mode != "host",
         "device_cache": mode.startswith("cache"),
+        # flagship FixMatch recipe shape (configs/base/resnet18/fixmatch.yaml)
+        "filter": [{"highpass_filter": {"fs": 250, "cutoff": 0.67}},
+                   {"lowpass_filter": {"fs": 250, "cutoff": 40}}],
+        "augmentations": [
+            {"random_resize_crop": {"target_length": length,
+                                    "scale_min": 0.5, "scale_max": 2.0}},
+        ],
+        "strong_augmentations": [
+            {"RandAugment": {
+                "ops": [
+                    {"AmplitudeScaling": {"sigma": 0.5}},
+                    {"AdaptivePowerlineNoise": {"fs": 250}},
+                    {"RandomPartialWhiteNoise": {"amplitude": 1.0,
+                                                 "ratio": 0.5}},
+                    {"RandomPartialSineNoise": {"amplitude": 1.0,
+                                                "freq": 0.5, "ratio": 0.5}},
+                ],
+                "level": 10, "num_layers": 2, "prob": 0.5,
+            }},
+        ],
+        "transforms": [{"standardize": {"axis": [-1, -2]}},
+                       {"to_tensor": {"dtype": "float"}}],
     }
     config["dataloader"] = {"batch_size": 16, "num_workers": 8}
     config["train"]["epochs"] = epochs
@@ -69,7 +91,10 @@ def run_once(data_cfg, out_dir, mode, epochs, length, scan_steps) -> float:
     config = make_config(data_cfg, out_dir, mode, epochs, length, scan_steps)
     t0 = time.perf_counter()
     get_algorithm("fixmatch").train(config)
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    print(f"# {mode}: {epochs} epochs in {dt:.1f}s", file=sys.stderr,
+          flush=True)
+    return dt
 
 
 def main():
@@ -96,6 +121,9 @@ def main():
 
     results = {}
     for mode in args.modes.split(","):
+        # warm the in-process XLA compile cache so the two timed runs are
+        # both compile-free (the slope would otherwise go negative)
+        run_once(data_cfg, root, mode, 1, args.length, args.scan_steps)
         short = run_once(data_cfg, root, mode, args.epochs, args.length,
                          args.scan_steps)
         long = run_once(data_cfg, root, mode, args.epochs + 4, args.length,
