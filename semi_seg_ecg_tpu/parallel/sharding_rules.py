@@ -88,5 +88,26 @@ def state_shardings(mesh: Mesh, state):
 
 def shard_state(mesh: Mesh, state):
     """Place a TrainState on the mesh under the TP rules (replicated
-    everywhere the rules don't match)."""
-    return jax.device_put(state, state_shardings(mesh, state))
+    everywhere the rules don't match).
+
+    When a ``model`` axis is requested but no rule matched any parameter
+    (e.g. after a module rename breaks the trailing patterns above), the
+    guard keeps the run correct-but-replicated — warn loudly instead of
+    degrading silently."""
+    shardings = state_shardings(mesh, state)
+    if mesh.shape[MODEL_AXIS] > 1:
+        matched = any(
+            s.spec != P() for s in jax.tree.leaves(
+                shardings, is_leaf=lambda x: isinstance(x, NamedSharding))
+        )
+        if not matched:
+            from ..utils.logging import log
+
+            log(
+                f"WARNING: model_parallel={mesh.shape[MODEL_AXIS]} but no "
+                "tensor-parallel sharding rule matched any parameter — "
+                "training proceeds fully replicated on the model axis "
+                "(check parallel/sharding_rules.py patterns against the "
+                "model's module names)", force=True,
+            )
+    return jax.device_put(state, shardings)

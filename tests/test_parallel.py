@@ -172,3 +172,25 @@ def test_batch_sharding_layout():
     arr = shard_batch(mesh, {"x": x})["x"]
     assert arr.sharding.is_equivalent_to(batch_sharding(mesh), arr.ndim)
     np.testing.assert_array_equal(np.asarray(arr), x)
+
+
+def test_tp_no_match_warns(capsys):
+    """model_parallel > 1 with no matching TP rule must warn loudly instead
+    of silently running fully replicated (round-1 VERDICT weak item 6)."""
+    import jax.numpy as jnp
+
+    from semi_seg_ecg_tpu.parallel.sharding_rules import shard_state
+    from semi_seg_ecg_tpu.utils.logging import set_logging_enabled
+
+    mesh = make_mesh({"parallel": {"model_parallel": 2}},
+                     devices=jax.devices()[:4])
+    set_logging_enabled(True)
+    # conv-style params only: no Attention/FeedForward pattern can match
+    state = {"backbone": {"conv": {"kernel": jnp.ones((3, 1, 8))}}}
+    shard_state(mesh, state)
+    assert "no tensor-parallel sharding rule matched" in capsys.readouterr().out
+
+    # ViT-style params: a rule matches, no warning
+    state = {"Attention_0": {"Dense_0": {"kernel": jnp.ones((8, 8))}}}
+    shard_state(mesh, state)
+    assert "no tensor-parallel" not in capsys.readouterr().out
