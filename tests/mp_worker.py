@@ -15,6 +15,51 @@ import pickle
 import sys
 
 
+def train_parity_run(config, mesh, host_batches):
+    """3 jitted `base` train steps from a seed-0 init; returns per-step
+    losses + the first param leaf. Run identically single- and
+    multi-process, the outputs must agree: same global mesh, same GSPMD
+    program, so gradient all-reduce and cross-replica BN stats must
+    reproduce the single-process math."""
+    import jax
+    import numpy as np
+
+    from semi_seg_ecg_tpu.algorithms.base import SPEC, make_train_step
+    from semi_seg_ecg_tpu.algorithms.common import build_state
+    from semi_seg_ecg_tpu.models import build_model_from_config
+    from semi_seg_ecg_tpu.parallel.mesh import shard_batch
+    from semi_seg_ecg_tpu.parallel.sharding_rules import shard_state
+    from semi_seg_ecg_tpu.utils.optimizer import build_optimizer
+
+    model = build_model_from_config(config, train=True)
+    tx = build_optimizer(config, None, steps_per_epoch=10, model=model)
+    state = build_state(config, model, tx, SPEC, seed=0)
+    state = shard_state(mesh, state)
+    step = jax.jit(make_train_step(model, tx, config, 10))
+    losses = []
+    for b in host_batches:
+        state, metrics = step(state, shard_batch(mesh, b))
+        losses.append(float(metrics["loss"]))
+    leaf = np.asarray(jax.tree.leaves(state.model.params)[0])
+    return losses, leaf
+
+
+def make_parity_batches(slice_lo=None, slice_hi=None):
+    """3 deterministic (16, 1, 256) batches; a process passes its row
+    slice, the single-process golden the full range."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    batches = []
+    for _ in range(3):
+        b = {"ecg": rng.standard_normal((16, 1, 256)).astype(np.float32),
+             "target": rng.integers(0, 4, (16, 256))}
+        if slice_lo is not None:
+            b = {k: v[slice_lo:slice_hi] for k, v in b.items()}
+        batches.append(b)
+    return batches
+
+
 def main() -> None:
     pid, port, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 
@@ -105,6 +150,24 @@ def main() -> None:
     assert os.path.exists(path)
     payload = ckpt.load_checkpoint(path)
     assert payload["epoch"] == 0
+
+    # --- 6. 3-step train loop ~= single-process golden --------------------
+    # Tolerances are loose on purpose: XLA CPU partitions intra-op work
+    # over different thread counts per topology, so fp32 reassociation
+    # alone shifts a pure replicated forward by ~1e-4 (verified: identical
+    # param/batch checksums, eval-mode forward differs with zero
+    # collectives). The bugs this guards against — wrong batch assembly,
+    # missing gradient/BN sync — produce O(1) errors, far above this.
+    losses, leaf = train_parity_run(
+        config, mesh, make_parity_batches(pid * 8, pid * 8 + 8))
+    if is_main_process():
+        golden = np.load(os.path.join(workdir, "train_golden.npz"))
+        np.testing.assert_allclose(losses, golden["losses"], rtol=5e-3)
+        # Adam steps are ~lr-sized regardless of gradient magnitude, so a
+        # 1e-4 forward wobble can flip the sign of a near-zero element's
+        # update: tolerate a few lr (3 steps x lr=1e-3) absolutely
+        np.testing.assert_allclose(leaf, golden["leaf"], rtol=0.05,
+                                   atol=5e-3)
 
     with open(os.path.join(workdir, f"ok{pid}"), "w") as f:
         f.write("ok")

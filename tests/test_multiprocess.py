@@ -50,6 +50,11 @@ def _mp_config(dataset_cfg) -> dict:
                    "include_background": True, "per_class": False,
                    "input_format": "one-hot",
                    "target_metrics": ["MeanIoU"]},
+        "train": {"epochs": 1, "accum_iter": 1, "warmup_epochs": 0,
+                  "min_lr": 1e-4, "blr": None, "lr": 1e-3,
+                  "weight_decay": 0.05, "max_norm": None,
+                  "layer_decay": None, "optimizer": "adamw",
+                  "optimizer_kwargs": {"betas": [0.9, 0.999]}},
     }
 
 
@@ -89,6 +94,12 @@ def test_two_process_cpu_cluster(e2e_data, tmp_path):
         labels=labels,
         **{f"metric_{k}": np.asarray(v) for k, v in metrics.items()},
     )
+
+    # train-loop golden: same 3 steps, single process, same 8-device mesh
+    from tests.mp_worker import make_parity_batches, train_parity_run
+
+    losses, leaf = train_parity_run(config, mesh, make_parity_batches())
+    np.savez(tmp_path / "train_golden.npz", losses=losses, leaf=leaf)
 
     # two coordinated processes; strip the parent's platform env (the
     # sitecustomize TPU plugin hangs on JAX_PLATFORMS=cpu in a fresh
