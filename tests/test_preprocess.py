@@ -375,3 +375,39 @@ def test_device_cache_matches_device_augment(e2e_data, tmp_path):
             losses[mode] = json.loads(f.readline())["train_loss"]
     assert np.isfinite(losses["cache"])
     np.testing.assert_allclose(losses["cache"], losses["stream"], rtol=1e-5)
+
+
+@pytest.mark.parametrize("case", ["weak_host", "strong_host"])
+def test_fixmatch_device_augment_fallback_e2e(e2e_data, tmp_path, case):
+    """The per-branch host fallback must train end-to-end, not just plan:
+    case B (weak chain host-only, strong fused on device) and case C
+    (strong chain host-only, labeled branch fused)."""
+    from semi_seg_ecg_tpu.algorithms import get_algorithm
+    from tests.test_algorithms_e2e import make_config
+
+    config = make_config(e2e_data, tmp_path, "fixmatch")
+    config["dataset"]["device_augment"] = True
+    if case == "weak_host":
+        # filters have no device equivalent -> weak runs on host,
+        # standardize + strong view still fuse into the step
+        config["dataset"]["augmentations"] = [
+            {"lowpass_filter": {"fs": 250, "cutoff": 40}},
+        ]
+        config["dataset"]["strong_augmentations"] = [
+            {"RandAugment": {"ops": [{"AmplitudeScaling": {"sigma": 0.5}}],
+                             "level": 10, "num_layers": 1, "prob": 0.5}},
+        ]
+    else:
+        # strong chain host-only -> unlabeled branch falls back entirely,
+        # labeled weak aug still fuses
+        config["dataset"]["strong_augmentations"] = [
+            {"RandAugment": {
+                "ops": [{"lowpass_filter": {"fs": 250, "cutoff": 40}}],
+                "level": 10, "num_layers": 1, "prob": 0.5}},
+        ]
+    config["train"]["epochs"] = 1
+    get_algorithm("fixmatch").train(config)
+    with open(os.path.join(config["output_dir"], "fixmatch",
+                           "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line["train_loss"])
