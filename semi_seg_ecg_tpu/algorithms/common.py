@@ -300,22 +300,6 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     return loaders
 
 
-def device_prefetch(iterator, mesh, depth: int = 2):
-    """Issue async host→device transfers ``depth`` batches ahead so input
-    upload overlaps the running step (device_put is non-blocking; this just
-    front-runs it — the torch analogue is pin_memory+non_blocking H2D,
-    semi_dataset.py/base.py:119-120)."""
-    from collections import deque
-
-    q = deque()
-    for batch in iterator:
-        q.append(shard_batch(mesh, batch))
-        if len(q) >= depth:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
-
-
 def combined_batches(loaders, spec: AlgorithmSpec):
     """Yield merged step dicts: labeled ``ecg``/``target`` + unlabeled
     weak/strong views (``ecg_u_w``/``ecg_u_s``)."""
@@ -759,8 +743,8 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
         upload + one K-step device program (the epoch tail shorter than the
         window falls back to per-step dispatch). Collation and the async
         H2D transfer happen here, ahead of dispatch, so the depth-2
-        prefetch below overlaps them with the running program — the scan
-        analogue of ``device_prefetch``.
+        prefetch below overlaps them with the running program (the torch
+        analogue is pin_memory + non_blocking H2D, base.py:119-120).
         """
         if scan_step is None:
             for b in combined_batches(loaders, spec):

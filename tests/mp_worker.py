@@ -151,6 +151,16 @@ def main() -> None:
     payload = ckpt.load_checkpoint(path)
     assert payload["epoch"] == 0
 
+    # --- 5b. device_cache pattern: replicated HBM table + sharded-index
+    # gather must assemble the right rows under multi-controller ----------
+    from semi_seg_ecg_tpu.parallel.mesh import replicated
+
+    table = jax.device_put(
+        np.arange(20, dtype=np.float32)[:, None] * 10.0, replicated(mesh))
+    idx = shard_batch(mesh, {"i": (mine * 2).astype(np.int32)})["i"]
+    gathered = jax.jit(lambda t, i: t[i].sum())(table, idx)
+    assert float(gathered) == float((np.arange(8) * 2 * 10.0).sum())
+
     # --- 6. 3-step train loop ~= single-process golden --------------------
     # Tolerances are loose on purpose: XLA CPU partitions intra-op work
     # over different thread counts per topology, so fp32 reassociation
