@@ -411,3 +411,41 @@ def test_fixmatch_device_augment_fallback_e2e(e2e_data, tmp_path, case):
                            "log.txt")) as f:
         line = json.loads(f.readline())
     assert np.isfinite(line["train_loss"])
+
+
+def test_device_cache_rowmap_dedup_and_subset(e2e_data):
+    """Oversampled labeled lists dedup to unique records; Subset views
+    compose through the rowmap (ST++ stage-2 path)."""
+    from semi_seg_ecg_tpu.data.dataset import Subset, build_seg_dataset
+    from semi_seg_ecg_tpu.data.device_cache import _base_and_rowmap
+
+    ds = build_seg_dataset(dict(e2e_data), split="train_labeled",
+                           num_unlabeled=40)  # 8 files oversampled to 40
+    base, rowmap, uniques = _base_and_rowmap(ds)
+    assert len(rowmap) == 40
+    assert len(uniques) == 8
+    # every repeat of the same file maps to the same cache row
+    for i in range(40):
+        assert base.filenames[i] == base.filenames[uniques[rowmap[i]]]
+
+    sub = Subset(ds, [3, 11, 19])  # same file every 8 steps
+    _, sub_rowmap, _ = _base_and_rowmap(sub)
+    assert len(sub_rowmap) == 3
+    assert sub_rowmap[0] == sub_rowmap[1] == sub_rowmap[2] == rowmap[3]
+
+
+def test_mean_teacher_with_device_cache_e2e(e2e_data, tmp_path):
+    """device_cache works for the EMA-teacher algorithm family too (weak
+    view only, no strong chain)."""
+    from semi_seg_ecg_tpu.algorithms import get_algorithm
+    from tests.test_algorithms_e2e import make_config
+
+    config = make_config(e2e_data, tmp_path, "mean_teacher")
+    config["dataset"]["device_augment"] = True
+    config["dataset"]["device_cache"] = True
+    config["train"]["epochs"] = 1
+    get_algorithm("mean_teacher").train(config)
+    with open(os.path.join(config["output_dir"], "mean_teacher",
+                           "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line["train_loss"])
