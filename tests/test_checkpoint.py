@@ -150,3 +150,19 @@ def test_nan_step_aborts_after_flushing_good_checkpoints(tmp_path, capsys):
     assert ckpt.last_written_checkpoint() == good
     out = capsys.readouterr().out
     assert "Last good checkpoint" in out and good in out
+
+
+def test_deferred_host_fetch_roundtrip(tmp_path):
+    """defer_host_fetch builds the payload inside the writer thread; the
+    file must still land complete and readable after wait_for_pending."""
+    ms = _model_state(seed=8)
+    path = os.path.join(tmp_path, "deferred.ckpt")
+    ckpt.save_checkpoint(path, epoch=2, model_state=ms, metrics={"m": 1.0},
+                         async_write=True, defer_host_fetch=True)
+    ckpt.wait_for_pending()
+    payload = ckpt.load_checkpoint(path)
+    assert payload["epoch"] == 2 and payload["metrics"]["m"] == 1.0
+    np.testing.assert_array_equal(
+        payload["model"]["params"]["backbone"]["conv"]["kernel"],
+        np.asarray(ms.params["backbone"]["conv"]["kernel"]))
+    assert ckpt.last_written_checkpoint() == path
