@@ -262,3 +262,4 @@ def test_unsupported_names_raise():
         build_model_from_config(
             {**RESNET_CFG, "decode_head": {"nope": {}}}
         )
+
