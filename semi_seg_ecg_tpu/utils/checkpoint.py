@@ -81,6 +81,11 @@ def wait_for_pending() -> None:
     """Block until every queued async checkpoint write has hit disk (call
     before reading the files back, e.g. post-train test)."""
     if _QUEUE is not None:
+        backlog = _QUEUE.qsize()
+        if backlog:
+            # deferred-fetch writes pull device state over the host link
+            # here — on a slow link this is where a run appears to "hang"
+            log(f"flushing {backlog} pending checkpoint write(s)...")
         _QUEUE.join()
 
 
