@@ -45,6 +45,14 @@ EPOCHS = 2
 NUM_CLASSES = 4
 
 
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    """Reference model inits/draws come from torch's GLOBAL rng — pin it so
+    trajectories (and the chaos envelopes measured from them) are
+    reproducible across runs."""
+    torch.manual_seed(0)
+
+
 def _config(backbone="resnet18", **train_overrides):
     if backbone == "resnet18":
         backbone_cfg = {"resnet18": {
@@ -197,6 +205,9 @@ def _assert_series_close(ours, ref_series, ctl_series, factor=4.0,
     bound = np.maximum(factor * np.abs(ref - ctl),
                        np.maximum(atol, rtol * np.abs(ref)))
     bad = np.abs(ours - ref) > bound
+    if bad.any():
+        print(f"{what}: |ours-ref|={np.abs(ours-ref).round(5).tolist()}")
+        print(f"{what}: |ctl-ref| ={np.abs(ref-ctl).round(5).tolist()}")
     assert not bad.any(), (
         f"{what} diverges beyond the chaos envelope at steps "
         f"{np.nonzero(bad)[0].tolist()}: ours {ours[bad]}, ref {ref[bad]}, "
@@ -446,3 +457,74 @@ def test_lockstep_mean_teacher(rng):
                     2e-3 * float(np.max(np.abs(ref))))
         assert float(np.max(np.abs(ema_sd[k] - ref))) < bound, \
             f"teacher mismatch at {k}"
+
+
+def test_lockstep_cps(rng):
+    """CPS loop lockstep vs reference cps.train_one_epoch (cps.py:27-209):
+    two independent peers, eval-mode cross pseudo-labels with the label
+    swap, per-peer (loss_x + loss_u_s)/2, two optimizers stepping in one
+    iteration. Both peers' final params must track their torch twins."""
+    import copy
+
+    config = _config("resnet18")
+    batches = _make_batches(rng, unlabeled=True)  # CPS uses the weak view
+    cps_ref = import_reference_module("algorithms.cps")
+    base = import_reference_module("algorithms.base")
+    misc = import_reference_module("utils.misc")
+    opt_mod = import_reference_module("utils.optimizer")
+
+    t1, opt1, scaler = _reference_setup(config)
+    t2 = base.init_model_from_cfg(config, train=True).float()  # distinct init
+    opt2 = opt_mod.get_optimizer_from_config(config["train"], t2.parameters())
+    init_sd1 = copy.deepcopy(t1.state_dict())
+    init_sd2 = copy.deepcopy(t2.state_dict())
+
+    model, tx, mstate1 = _our_setup(config, t1)
+    _, _, mstate2 = _our_setup(config, t2)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32), model=mstate1,
+        opt_state=tx.init(mstate1.params), ema=None,
+        peer=mstate2, peer_opt_state=tx.init(mstate2.params),
+    )
+
+    device = torch.device("cpu")
+
+    def run_reference(m1, m2, o1, o2, sc):
+        rec = _Recorder()
+        for epoch, epoch_steps in enumerate(batches):
+            labeled, unlabeled = _torch_loader(epoch_steps, unlabeled=True)
+            cps_ref.train_one_epoch(
+                m1, m2, labeled, unlabeled, o1, o2, device, epoch, sc,
+                log_writer=rec, use_amp=False, config=config["train"],
+            )
+        return rec
+
+    recorder = run_reference(t1, t2, opt1, opt2, scaler)
+    ctl1 = _perturbed_clone(config, init_sd1)
+    ctl2 = _perturbed_clone(config, init_sd2)
+    ctl_rec = run_reference(
+        ctl1, ctl2,
+        opt_mod.get_optimizer_from_config(config["train"], ctl1.parameters()),
+        opt_mod.get_optimizer_from_config(config["train"], ctl2.parameters()),
+        misc.NativeScalerWithGradNormCount())
+
+    from semi_seg_ecg_tpu.algorithms.cps import make_train_step
+
+    step_fn = jax.jit(make_train_step(model, tx, config, STEPS_PER_EPOCH))
+    series = {"loss_total": [], "loss_x": [], "loss_u_s": []}
+    for epoch_steps in batches:
+        for b in epoch_steps:
+            state, m = step_fn(state, b)
+            for k in series:
+                series[k].append(float(m[k]))
+    # factor 8 (vs 4 single-model): two independently-chaotic peers
+    # cross-feed argmax pseudo-labels, so label flips compound the
+    # divergence through twice as many channels as base/fixmatch
+    for name, ours in series.items():
+        _assert_series_close(ours, recorder.series[name],
+                             ctl_rec.series[name], factor=8.0, what=name)
+    _assert_final_params_close(state, t1, ctl1, factor=8.0)
+    peer_state = TrainState(step=state.step, model=state.peer,
+                            opt_state=state.peer_opt_state, ema=None,
+                            peer=None, peer_opt_state=None)
+    _assert_final_params_close(peer_state, t2, ctl2, factor=8.0)
