@@ -120,11 +120,13 @@ def main(steps: int = 100, warmup: int = 10) -> None:
         run_batch = batch
     calls = max(steps // scan_k, 1)
 
+    # one AOT compile serves both the timing loop and the FLOPs estimate
+    # (jit dispatch would compile the same program a second time)
     compiled = train_step.lower(state, run_batch).compile()
-    flops_per_call = _flops_per_call(compiled)
+    flops_per_call = _flops_per_call(compiled)  # per device, post-SPMD
 
     for _ in range(max(warmup // scan_k, 2)):
-        state, metrics = train_step(state, run_batch)
+        state, metrics = compiled(state, run_batch)
     jax.block_until_ready(metrics["loss"])
 
     # best of 3 trials: remote-tunnel scheduling noise only ever slows a
@@ -133,7 +135,7 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(calls):
-            state, metrics = train_step(state, run_batch)
+            state, metrics = compiled(state, run_batch)
         jax.block_until_ready(metrics["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
@@ -142,9 +144,11 @@ def main(steps: int = 100, warmup: int = 10) -> None:
 
     # Model FLOP utilisation: XLA's own cost model for the whole jitted
     # step (fwd + bwd + optimizer, all passes) against the chip's peak.
+    # cost_analysis() reports the per-device (post-SPMD-partition) FLOPs,
+    # so this is already a per-chip rate — no further division.
     kind = jax.devices()[0].device_kind
     peak = _PEAK_BF16_FLOPS.get(kind)
-    achieved_flops = flops_per_call * calls / best_dt / n_chips
+    achieved_flops = flops_per_call * calls / best_dt
     mfu = round(achieved_flops / peak, 4) if peak and flops_per_call else None
 
     print(json.dumps({

@@ -636,11 +636,12 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
             # device-side snapshot (HBM copy, microseconds): the writer
             # thread fetches it D2H in the background, so checkpointing
             # never blocks the epoch loop on host-link bandwidth, and the
-            # copies are immune to next-step buffer donation
+            # copies are immune to next-step buffer donation. One _save for
+            # ALL paths: the payload (and its D2H fetch) is built once and
+            # written to each destination.
             snap_state = jax.tree.map(jnp.copy, state)
-            for path in save_paths:
-                _save(config, path, epoch, snap_state,
-                      {"loss": curr_loss, **metrics})
+            _save(config, save_paths, epoch, snap_state,
+                  {"loss": curr_loss, **metrics})
 
         if log_writer is not None:
             log_writer.add_scalar("perf/valid_loss", curr_loss, epoch)

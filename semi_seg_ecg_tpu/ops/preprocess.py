@@ -353,8 +353,11 @@ def _make_device_op(name: str, kwargs: Dict[str, Any],
     if name in ("standardize", "Standardize"):
         axis = kwargs.get("axis", (-1, -2))
         axis = tuple(axis) if isinstance(axis, (list, tuple)) else (axis,)
-        if sorted(axis) not in ([-2, -1], [-1]):
-            return None  # exotic axes stay on the host
+        if sorted(axis) != [-2, -1]:
+            # per-lead or exotic axes stay on the host: standardize_batch
+            # normalizes jointly over (lead, time), which only matches the
+            # host op for the (-1, -2) schema
+            return None
 
         def std(key, x):
             return standardize_batch(x)
@@ -503,14 +506,15 @@ def plan_device_augment(dataset_cfg: Dict[str, Any]) -> DeviceAugPlan:
     strong_cfg = dataset_cfg.get("strong_augmentations") or []
     transforms_cfg = dataset_cfg.get("transforms") or _TO_TENSOR_ONLY
 
-    transforms_ok = True
-    for entry in transforms_cfg:
-        name, kwargs = _entry_name_kwargs(entry)
-        if name == "to_tensor":
-            continue
-        if _make_device_op(name, kwargs) is None:
-            transforms_ok = False
-    if not transforms_ok:
+    # the final per-view transform chain (host: dataset.get applies it to
+    # each view's signal after augmentation; to_tensor is the host's dtype
+    # cast and has no device work). It runs on device as a real op chain —
+    # exactly what the config lists, nothing forced in or dropped.
+    final_ops = _build_chain([
+        e for e in transforms_cfg
+        if _entry_name_kwargs(e)[0] != "to_tensor"
+    ])
+    if final_ops is None:
         return DeviceAugPlan(summary="host-only (unsupported transforms)")
 
     weak_ops = _build_chain(aug_cfg)
@@ -548,27 +552,30 @@ def plan_device_augment(dataset_cfg: Dict[str, Any]) -> DeviceAugPlan:
             "transforms": _TO_TENSOR_ONLY,
         }
 
-    unlab_std_device = unlab_weak_device or device_strong
-    if not (labeled_device or unlab_std_device):
+    unlab_final_device = unlab_weak_device or device_strong
+    if not (labeled_device or unlab_final_device):
         return DeviceAugPlan(summary="host-only (unsupported augmentations)")
 
     def augment(key, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         out = dict(batch)
-        k_lab, k_unlab, k_strong = jax.random.split(key, 3)
+        k_lab, k_unlab, k_strong, k_fl, k_fu, k_fs = jax.random.split(key, 6)
         if labeled_device and "ecg" in batch:
             x, y = _apply_chain(k_lab, weak_ops, batch["ecg"],
                                 batch.get("target"))
-            out["ecg"] = standardize_batch(x)
+            # final transforms are signal-only (dataset.get parity)
+            out["ecg"], _ = _apply_chain(k_fl, final_ops, x)
             if y is not None:
                 out["target"] = y
-        if "ecg_u_w" in batch and unlab_std_device:
+        if "ecg_u_w" in batch and unlab_final_device:
             u = batch["ecg_u_w"]
             if unlab_weak_device:
                 u, _ = _apply_chain(k_unlab, weak_ops, u)
-            out["ecg_u_w"] = standardize_batch(u)
+            out["ecg_u_w"], _ = _apply_chain(k_fu, final_ops, u)
             if device_strong:
+                # strong view derives from the PRE-transform weak view
+                # (semi_dataset.py:240-243)
                 u_s, _ = _apply_chain(k_strong, strong_ops, u)
-                out["ecg_u_s"] = standardize_batch(u_s)
+                out["ecg_u_s"], _ = _apply_chain(k_fs, final_ops, u_s)
         return out
 
     parts = []

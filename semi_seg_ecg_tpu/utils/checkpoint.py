@@ -59,7 +59,10 @@ def _ensure_worker():
 
     if _WORKER is not None and _WORKER.is_alive():
         return
-    _QUEUE = queue.Queue()
+    # bounded: each deferred-fetch entry pins a full on-device state
+    # snapshot until written, so backpressure (a blocking put) keeps at
+    # most a couple of copies alive in HBM on a slow host link
+    _QUEUE = queue.Queue(maxsize=2)
 
     def loop():
         while True:
@@ -97,7 +100,7 @@ def _to_host(tree):
 
 
 def save_checkpoint(
-    path: str,
+    path,  # one destination path, or a list sharing ONE payload/D2H fetch
     epoch: int,
     model_state,
     opt_state=None,
@@ -112,6 +115,9 @@ def save_checkpoint(
     defer_host_fetch: bool = False,
 ) -> None:
     if not is_main_process():
+        return
+    paths = [path] if isinstance(path, str) else list(path)
+    if not paths:
         return
 
     def build_payload() -> Dict[str, Any]:
@@ -144,14 +150,16 @@ def save_checkpoint(
         return payload
 
     def write(payload: Dict[str, Any]) -> None:
-        if backend == "orbax":
-            _save_checkpoint_orbax(path, payload)
-        else:
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-            os.replace(tmp, path)  # atomic: no torn ckpts on preemption
-        _record_written(path)
+        for p in paths:
+            if backend == "orbax":
+                _save_checkpoint_orbax(p, payload)
+            else:
+                tmp = p + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(payload, f,
+                                protocol=pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, p)  # atomic: no torn ckpts on preemption
+            _record_written(p)
 
     if async_write and defer_host_fetch:
         # the caller passed device-side snapshots (safe against donation):
@@ -347,8 +355,16 @@ def maybe_resume(config: Dict[str, Any], state, build_opt_template=None):
     if is_torch_state_dict(payload["model"]):
         # torch optimizer state is structurally foreign to optax — model
         # weights warm-start, optimizer statistics restart (documented in
-        # tools/convert_checkpoint.py)
-        log("Torch-format checkpoint: model restored, optimizer restarted")
+        # tools/convert_checkpoint.py). The epoch counter DOES carry over
+        # (reference misc.py:315-320): resuming an 80/100-epoch .pth must
+        # continue at epoch 81, not re-run from 0.
+        if payload.get("epoch") is not None:
+            config["start_epoch"] = payload["epoch"] + 1
+            log(f"Torch-format checkpoint: model restored, optimizer "
+                f"restarted, resuming at epoch {config['start_epoch']}")
+        else:
+            log("Torch-format checkpoint: model restored, optimizer "
+                "restarted")
         return state
     if "optimizer" in payload and payload.get("epoch") is not None:
         state = state.replace(

@@ -93,6 +93,8 @@ def test_build_device_augment_contract(rng):
                 "level": 10, "num_layers": 2, "prob": 0.5,
             }},
         ],
+        "transforms": [{"standardize": {"axis": [-1, -2]}},
+                       {"to_tensor": {"dtype": "float"}}],
     }
     aug = build_device_augment(ds_cfg)
     batch = {
@@ -303,6 +305,8 @@ def test_plan_case_b_strong_builds_on_host_weak(rng):
         "augmentations": [{"random_crop": {"crop_length": 64}}],
         "strong_augmentations": [{"RandAugment": {
             "ops": [{"YFlip": None}], "num_layers": 1, "prob": 1.0}}],
+        "transforms": [{"standardize": {"axis": [-1, -2]}},
+                       {"to_tensor": {"dtype": "float"}}],
     })
     u = rng.standard_normal((4, 1, 64)) * 3 + 5
     out = jax.jit(plan.augment)(jax.random.key(0),
@@ -449,3 +453,36 @@ def test_mean_teacher_with_device_cache_e2e(e2e_data, tmp_path):
                            "log.txt")) as f:
         line = json.loads(f.readline())
     assert np.isfinite(line["train_loss"])
+
+
+def test_plan_transforms_are_a_real_device_chain(rng):
+    """The transforms list runs verbatim on device: extra supported ops are
+    applied (not silently dropped), and a config WITHOUT standardize is not
+    force-standardized (host-parity: the default transform is to_tensor
+    only)."""
+    from semi_seg_ecg_tpu.ops.preprocess import plan_device_augment
+
+    u = rng.standard_normal((4, 1, 64)).astype(np.float32) * 3 + 5
+    # no standardize anywhere: the device stage must leave scale alone
+    plan = plan_device_augment({
+        "augmentations": [{"xflip": None}],
+        "transforms": [{"to_tensor": {"dtype": "float"}}],
+    })
+    out = plan.augment(jax.random.key(0), {"ecg_u_w": jnp.asarray(u)})
+    np.testing.assert_allclose(np.asarray(out["ecg_u_w"]), u[:, :, ::-1],
+                               atol=1e-6)
+
+    # yflip inside transforms must actually execute on device
+    plan = plan_device_augment({
+        "augmentations": [],
+        "transforms": [{"yflip": None}, {"to_tensor": None}],
+    })
+    out = plan.augment(jax.random.key(0), {"ecg_u_w": jnp.asarray(u)})
+    np.testing.assert_allclose(np.asarray(out["ecg_u_w"]), -u, atol=1e-6)
+
+    # per-lead standardize (axis [-1]) has no joint device equivalent
+    plan = plan_device_augment({
+        "augmentations": [{"xflip": None}],
+        "transforms": [{"standardize": {"axis": [-1]}}, {"to_tensor": None}],
+    })
+    assert plan.augment is None
