@@ -98,9 +98,13 @@ def init_model_state(model, config, seed: int) -> ModelState:
     sig_len = config["dataset"].get("signal_length", 2500)
     num_leads = 1
     dummy = jnp.zeros((2, num_leads, sig_len), jnp.float32)
-    # trace the latent path too so projection params exist (ReCo)
+    # trace every param-creating path: the latent projection (ReCo) and the
+    # auxiliary heads, which only run when train=True
+    # (encoder_decoder.py:108) — init in eval mode would skip their params
+    # and crash the first jitted train step
     variables = model.init(
-        model_rngs(seed), dummy, train=False,
+        model_rngs(seed), dummy,
+        train=model.with_auxiliary_heads,
         return_latent=model.with_projection,
     )
     batch_stats = variables.get("batch_stats", {})
@@ -226,6 +230,13 @@ def sgd_update(tx, grads, opt_state, params):
 # ---------------------------------------------------------------------------
 
 
+def loader_workers(dataloader_cfg: Dict[str, Any]) -> int:
+    """num_workers with an unset default of 4 — an EXPLICIT 0 means
+    synchronous single-threaded loading and must not be coerced back."""
+    n = dataloader_cfg.get("num_workers", 4)
+    return 4 if n is None else int(n)
+
+
 def _host_shard_args(num_shards: int) -> Dict[str, int]:
     """Each process materialises only its own slice of the data-parallel
     shards (multi-host input sharding; single-process: the full range)."""
@@ -259,7 +270,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     num_shards = data_parallel_size(mesh)
     shard_args = _host_shard_args(num_shards)
     batch_size = config["dataloader"]["batch_size"]
-    num_workers = config["dataloader"].get("num_workers", 4) or 4
+    num_workers = loader_workers(config["dataloader"])
     drop_last = config["dataloader"].get("drop_last", None)
 
     loaders: Dict[str, Any] = {}
@@ -594,6 +605,15 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     num_epochs = config["train"]["epochs"]
     log(f"Start training for {num_epochs} epochs")
     best_loss = float("inf")
+    resume_best = config.pop("_resume_best", None)
+    if resume_best:
+        # resumed runs keep their pre-crash thresholds: the first
+        # post-resume epoch must not overwrite the true best-*.ckpt files
+        best_loss = resume_best.get("loss", best_loss)
+        for k, v in resume_best.items():
+            if k in best_metrics:
+                best_metrics[k] = v
+        log(f"Resume: best-checkpoint thresholds restored: {resume_best}")
     start_time = time.time()
 
     for epoch in range(config.get("start_epoch", 0), num_epochs):
@@ -641,7 +661,8 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
             # written to each destination.
             snap_state = jax.tree.map(jnp.copy, state)
             _save(config, save_paths, epoch, snap_state,
-                  {"loss": curr_loss, **metrics})
+                  {"loss": curr_loss, **metrics},
+                  best={"loss": best_loss, **best_metrics})
 
         if log_writer is not None:
             log_writer.add_scalar("perf/valid_loss", curr_loss, epoch)
@@ -662,7 +683,7 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
         log_writer.close()
 
 
-def _save(config, path, epoch, state: TrainState, metrics):
+def _save(config, path, epoch, state: TrainState, metrics, best=None):
     ckpt.save_checkpoint(
         path, epoch, state.model, opt_state=state.opt_state, config=config,
         metrics=metrics, ema_state=state.ema, peer_state=state.peer,
@@ -670,6 +691,7 @@ def _save(config, path, epoch, state: TrainState, metrics):
         async_write=bool(config.get("async_checkpoint", True)),
         backend=config.get("checkpoint_backend", "pickle"),
         defer_host_fetch=True,  # state is a device-side snapshot
+        best=best,
     )
 
 
@@ -830,7 +852,7 @@ def run_test(config: Dict[str, Any]) -> Dict[str, float]:
     loader = get_dataloader(
         ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
         seed=config["seed"], num_shards=num_shards,
-        num_workers=config["dataloader"].get("num_workers", 4) or 4,
+        num_workers=loader_workers(config["dataloader"]),
         **_host_shard_args(num_shards),
     )
     model, model_state = load_eval_model(config)
@@ -866,7 +888,7 @@ def run_inference(config: Dict[str, Any]) -> np.ndarray:
     loader = get_dataloader(
         ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
         seed=config["seed"], num_shards=num_shards,
-        num_workers=config["dataloader"].get("num_workers", 4) or 4,
+        num_workers=loader_workers(config["dataloader"]),
         **_host_shard_args(num_shards),
     )
     # inference defaults to full precision unless test.use_amp is set
@@ -883,11 +905,32 @@ def run_inference(config: Dict[str, Any]) -> np.ndarray:
     n = len(ds_test)
     mat = loader.step_indices()
     outputs = None
+    local_rows = []
     for step, batch in enumerate(loader):
-        probs = np.asarray(infer_step(model_state, shard_batch(mesh, batch)))
+        probs = infer_step(model_state, shard_batch(mesh, batch))
+        if jax.process_count() > 1:
+            # fetch only this host's rows (other hosts' shards are
+            # non-addressable), then exchange rows below — same pattern
+            # as evaluate()
+            from jax.experimental.multihost_utils import (
+                global_array_to_host_local_array,
+            )
+            from jax.sharding import PartitionSpec
+
+            from ..parallel.mesh import DATA_AXIS
+
+            probs = global_array_to_host_local_array(
+                probs, mesh, PartitionSpec(DATA_AXIS))
+        probs = np.asarray(probs)
+        flat = mat[step].reshape(-1)
+        local_rows.append(flat)
         if outputs is None:
             outputs = np.zeros((n,) + probs.shape[1:], np.float32)
-        outputs[mat[step].reshape(-1)] = probs
+        outputs[flat] = probs
+    if jax.process_count() > 1:
+        rows = (np.concatenate(local_rows) if local_rows
+                else np.zeros((0,), np.int64))
+        _allgather_rows(rows, [outputs])
     if out_dir and is_main_process():
         np.save(os.path.join(out_dir, "test_outputs.npy"), outputs)
     log("Done!")

@@ -47,7 +47,7 @@ from ..data.dataset import build_seg_dataset
 from ..data.loader import get_dataloader
 from ..models import build_model_from_config
 from ..ops.losses import cross_entropy
-from ..ops.metrics import segmentation_stats
+from ..ops.metrics import per_sample_miou, segmentation_stats
 from ..parallel.mesh import data_parallel_size, make_mesh, shard_batch
 from ..utils import checkpoint as ckpt
 from ..utils.logging import log
@@ -58,13 +58,10 @@ from .base import SPEC as BASE_SPEC, aux_loss_weights
 def calculate_miou(inter: np.ndarray, psum: np.ndarray, tsum: np.ndarray,
                    ignore_background: bool = False) -> np.ndarray:
     """Per-sample mIoU between two prediction maps (stpp.py:32-42 parity:
-    classes with empty union contribute 0)."""
-    if ignore_background:
-        inter, psum, tsum = inter[:, 1:], psum[:, 1:], tsum[:, 1:]
-    union = psum + tsum - inter
-    iou = np.divide(inter, union, out=np.zeros(inter.shape, dtype=np.float64),
-                    where=union > 0)
-    return iou.mean(axis=1)
+    classes with empty union contribute 0) — shared with the MeanIoU
+    metric via :func:`..ops.metrics.per_sample_miou`."""
+    return per_sample_miou(inter, psum, tsum,
+                           include_background=not ignore_background)
 
 
 def select_reliable(
@@ -74,21 +71,27 @@ def select_reliable(
     snapshot with the final one, averaged; descending sort; top half."""
 
     @jax.jit
-    def preds_fn(states, batch):
-        return jnp.stack([
+    def agreement_fn(states, batch):
+        """One program: every snapshot's forward + argmax + pairwise count
+        stats vs the final snapshot → (S-1, B, C) int arrays. One D2H
+        fetch per batch instead of a device→host→device bounce."""
+        preds = [
             jnp.argmax(apply_eval(model, s, batch["ecg"])["seg_logits"],
                        axis=1)
             for s in states
-        ])  # (S, B, T)
+        ]
+        stats = [segmentation_stats(p, preds[-1], num_classes)
+                 for p in preds[:-1]]
+        return tuple(jnp.stack([s[i] for s in stats]) for i in range(3))
 
     n = len(loader.dataset)
     mat = loader.step_indices()
     reliability = np.zeros(n)
     local_rows = []
     for step, batch in enumerate(loader):
-        preds = preds_fn(snapshot_states, shard_batch(mesh, batch))
+        counts = agreement_fn(snapshot_states, shard_batch(mesh, batch))
         if jax.process_count() > 1:
-            # (S, B, T) global array, batch sharded on dim 1: fetch only
+            # (S-1, B, C) global arrays, batch sharded on dim 1: fetch only
             # this host's rows (others' shards are non-addressable)
             from jax.experimental.multihost_utils import (
                 global_array_to_host_local_array,
@@ -97,19 +100,16 @@ def select_reliable(
 
             from ..parallel.mesh import DATA_AXIS
 
-            preds = global_array_to_host_local_array(
-                preds, mesh, PartitionSpec(None, DATA_AXIS))
-        preds = np.asarray(preds)
+            counts = tuple(
+                global_array_to_host_local_array(
+                    c, mesh, PartitionSpec(None, DATA_AXIS))
+                for c in counts
+            )
+        inter, psum, tsum = (np.asarray(c) for c in counts)
         flat = mat[step].reshape(-1)
         local_rows.append(flat)
-        mious = []
-        final = jnp.asarray(preds[-1])
-        for s in range(len(snapshot_states) - 1):
-            inter, psum, tsum = segmentation_stats(
-                jnp.asarray(preds[s]), final, num_classes
-            )
-            mious.append(calculate_miou(np.asarray(inter), np.asarray(psum),
-                                        np.asarray(tsum)))
+        mious = [calculate_miou(inter[s], psum[s], tsum[s])
+                 for s in range(inter.shape[0])]
         reliability[flat] = np.mean(mious, axis=0)
     if jax.process_count() > 1:
         # each host ranked its own shards; exchange (row, value) pairs and
@@ -124,19 +124,29 @@ def select_reliable(
     return order[:half].tolist(), order[half:].tolist()
 
 
+def snapshot_epoch_list(num_epochs: int) -> List[int]:
+    """Stage-1 snapshot epochs 1/3, 2/3, final (stpp.py:377-386), clamped to
+    >= 1: checkpoints are written after epoch ``e`` completes (key
+    ``epoch + 1``), so epoch 0 can never be saved and tiny-epoch smoke runs
+    would otherwise crash loading ``checkpoint-0.ckpt``. Duplicates are fine
+    — the same snapshot just participates twice in the agreement mean."""
+    return [max(num_epochs // 3, 1), max(num_epochs * 2 // 3, 1),
+            max(num_epochs, 1)]
+
+
 def prepare_semisup(config) -> List[int]:
     """Load the 3 stage-1 snapshots and rank the unlabeled set
     (stpp.py:452-484)."""
     mesh = make_mesh(config)
     ds = build_seg_dataset(config["dataset"], split="train_unlabeled",
                            mode="eval")
-    from .common import _host_shard_args
+    from .common import _host_shard_args, loader_workers
 
     num_shards = data_parallel_size(mesh)
     loader = get_dataloader(
         ds, mode="eval", batch_size=config["dataloader"]["batch_size"],
         seed=config["seed"], num_shards=num_shards,
-        num_workers=config["dataloader"].get("num_workers", 4) or 4,
+        num_workers=loader_workers(config["dataloader"]),
         **_host_shard_args(num_shards),
     )
     model = build_model_from_config(config, train=False)
@@ -144,7 +154,7 @@ def prepare_semisup(config) -> List[int]:
     num_epochs = config["train"]["epochs"]
     states = []
     stage1 = os.path.join(experiment_dir(config), "stage1")
-    for e in [num_epochs // 3, num_epochs * 2 // 3, num_epochs]:
+    for e in snapshot_epoch_list(num_epochs):
         payload = ckpt.load_checkpoint(
             os.path.join(stage1, f"checkpoint-{e}.ckpt")
         )
@@ -235,8 +245,7 @@ SEMISUP_SPEC = AlgorithmSpec(
 
 def train_sup(config):
     """Stage 1 (stpp.py:248-449): supervised + ⅓/⅔/final snapshots."""
-    num_epochs = config["train"]["epochs"]
-    snapshots = {num_epochs // 3, num_epochs * 2 // 3, num_epochs}
+    snapshots = set(snapshot_epoch_list(config["train"]["epochs"]))
     run_training(config, BASE_SPEC, output_subdir="stage1",
                  snapshot_epochs=snapshots)
 

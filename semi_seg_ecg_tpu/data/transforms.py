@@ -410,7 +410,9 @@ class _Noise(Transform):
 
     def set_level(self, level, max_level=10):
         frac = level / max_level
-        self.amplitude, self.freq = frac * 1.0, 0.5 / frac
+        # level 0 zeroes the amplitude, so freq is moot — guard the divide
+        # (the reference raises ZeroDivisionError on this legal setting)
+        self.amplitude, self.freq = frac * 1.0, 0.5 / max(frac, 1e-9)
 
 
 class RandomBaselineShift(_Noise):

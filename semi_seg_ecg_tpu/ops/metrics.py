@@ -54,6 +54,17 @@ def _safe_divide(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     )
 
 
+def per_sample_miou(inter: np.ndarray, psum: np.ndarray, tsum: np.ndarray,
+                    include_background: bool = True) -> np.ndarray:
+    """(B,) per-sample mean IoU with the 0-where-union-0 convention — the
+    single definition shared by the MeanIoU metric and ST++'s reliability
+    ranking (reference stpp.py:32-42)."""
+    if not include_background:
+        inter, psum, tsum = inter[:, 1:], psum[:, 1:], tsum[:, 1:]
+    union = psum + tsum - inter
+    return _safe_divide(inter, union).mean(axis=1)
+
+
 class SegmentationMetric:
     """Stateful metric: feed :func:`segmentation_stats` outputs per batch."""
 

@@ -41,15 +41,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# The BACKWARD kernel is the high-water mark: it keeps q, k, v, do plus
+# fp32 dq/dk/dv resident (7 full n_pad x d_pad buffers) alongside
+# lse/delta and block temporaries — size for 8 buffers, not the forward's
+# 4, or shapes that pass the guard can still overflow VMEM in training
+# (a VMEM overflow wedges the remote tunnel for ~1 h, NOTES.md).
+_RESIDENT_BUFFERS = 8
+
+
 def fits_vmem(n: int, d: int, block_q: int = DEFAULT_BLOCK_Q,
               block_k: int = DEFAULT_BLOCK_K) -> bool:
     n_pad = _round_up(n, max(block_q, block_k))
     d_pad = _round_up(d, 128)
-    return 4 * n_pad * d_pad * 4 <= _VMEM_BUDGET_BYTES
+    return _RESIDENT_BUFFERS * n_pad * d_pad * 4 <= _VMEM_BUDGET_BYTES
 
 
 def _check_vmem(n_pad, d_pad, interpret):
-    if not interpret and 4 * n_pad * d_pad * 4 > _VMEM_BUDGET_BYTES:
+    if not interpret and (_RESIDENT_BUFFERS * n_pad * d_pad * 4
+                          > _VMEM_BUDGET_BYTES):
         raise ValueError(
             f"flash_attention working set (n_pad={n_pad}, d_pad={d_pad}) "
             "exceeds the VMEM budget; use the XLA attention path"

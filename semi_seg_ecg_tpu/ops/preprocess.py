@@ -174,7 +174,9 @@ def _noise_level(kwargs: Dict[str, Any], level: Optional[int]):
     if level is None:
         return kwargs.get("amplitude", 1.0), kwargs.get("freq", 0.5)
     frac = level / MAX_LEVEL
-    return frac * 1.0, 0.5 / frac
+    # level 0 => amplitude 0: the noise vanishes, so any finite freq works
+    # (the reference's 0.5/0 would crash on a legal magnitude setting)
+    return frac * 1.0, 0.5 / max(frac, 1e-9)
 
 
 def _wave(name: str, t: int, amplitude: float, freq: float) -> jnp.ndarray:

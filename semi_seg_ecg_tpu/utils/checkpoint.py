@@ -113,6 +113,7 @@ def save_checkpoint(
     async_write: bool = False,
     backend: str = "pickle",
     defer_host_fetch: bool = False,
+    best: Optional[Dict[str, Any]] = None,
 ) -> None:
     if not is_main_process():
         return
@@ -134,6 +135,10 @@ def save_checkpoint(
             payload["optimizer"] = jax.tree.leaves(_to_host(opt_state))
         if metrics is not None:
             payload["metrics"] = metrics
+        if best is not None:
+            # best-so-far thresholds: a resumed run must not let its first
+            # epoch overwrite the true best-*.ckpt files
+            payload["best"] = best
         if ema_state is not None:
             payload["model_ema"] = {
                 "params": _to_host(ema_state.params),
@@ -343,6 +348,9 @@ def maybe_resume(config: Dict[str, Any], state, build_opt_template=None):
     state = state.replace(
         model=restore_model_state(payload["model"], state.model)
     )
+    if payload.get("best"):
+        # consumed by run_training to seed best_loss / best_metrics
+        config["_resume_best"] = payload["best"]
     if state.ema is not None and "model_ema" in payload:
         state = state.replace(
             ema=restore_model_state(payload["model_ema"], state.ema)

@@ -219,3 +219,30 @@ def test_vit_base_end_to_end(e2e_data, tmp_path):
     config = make_config(e2e_data, tmp_path, "base", backbone="vit_tiny")
     get_algorithm("base").train(config)
     assert os.path.exists(os.path.join(_exp_dir(config), "best-loss.ckpt"))
+
+
+def test_auxiliary_heads_train_e2e(e2e_data, tmp_path):
+    """auxiliary_heads params must be created at init (they only trace in
+    train mode, encoder_decoder.py:108) and the aux CE must flow into the
+    loss — init in eval mode used to skip them and crash the first step."""
+    from semi_seg_ecg_tpu.algorithms import get_algorithm
+
+    config = make_config(e2e_data, tmp_path, "base")
+    config["auxiliary_heads"] = [{"FCNHead": {
+        "in_channels": 256, "in_index": 2, "channels": 16, "num_convs": 1,
+        "concat_input": False, "dropout_ratio": 0.0, "num_classes": 4,
+        "align_corners": False}}]
+    config["train"]["auxiliary_loss_weight"] = [0.4]
+    config["train"]["epochs"] = 1
+    get_algorithm("base").train(config)
+    with open(os.path.join(config["output_dir"], "base", "log.txt")) as f:
+        line = json.loads(f.readline())
+    assert np.isfinite(line["train_loss"])
+
+
+def test_stpp_snapshot_epochs_clamped():
+    from semi_seg_ecg_tpu.algorithms.stpp import snapshot_epoch_list
+
+    assert snapshot_epoch_list(100) == [33, 66, 100]
+    assert snapshot_epoch_list(2) == [1, 1, 2]   # epoch-0 ckpt can't exist
+    assert snapshot_epoch_list(1) == [1, 1, 1]

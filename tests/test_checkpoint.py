@@ -166,3 +166,20 @@ def test_deferred_host_fetch_roundtrip(tmp_path):
         payload["model"]["params"]["backbone"]["conv"]["kernel"],
         np.asarray(ms.params["backbone"]["conv"]["kernel"]))
     assert ckpt.last_written_checkpoint() == path
+
+
+def test_resume_restores_best_thresholds(tmp_path):
+    """best-*.ckpt thresholds ride the checkpoint: a resumed run must not
+    let its first epoch overwrite the true best files."""
+    ms = _model_state()
+    tx = optax.adamw(1e-3)
+    path = os.path.join(tmp_path, "best-MeanIoU.ckpt")
+    ckpt.save_checkpoint(path, epoch=3, model_state=ms,
+                         opt_state=tx.init(ms.params),
+                         best={"loss": 0.125, "MeanIoU": 0.875})
+    fresh = TrainState(step=jnp.asarray(0, jnp.int32),
+                       model=_model_state(seed=9),
+                       opt_state=tx.init(ms.params))
+    config = {"resume": path}
+    ckpt.maybe_resume(config, fresh)
+    assert config["_resume_best"] == {"loss": 0.125, "MeanIoU": 0.875}
