@@ -150,8 +150,17 @@ class ECGSemiSegDataset:
     # -- deterministic prefix (load → resample → filter), cacheable ---------
 
     def _load_processed(self, idx: int):
-        if self._cache is not None and idx in self._cache:
-            return self._cache[idx]
+        # key by record, not index: the oversampled labeled list repeats
+        # files, and per-index keying would recompute (and hold) the
+        # resample+filter prefix once per duplicate
+        fs = self.fs_list[idx] if self.fs_list is not None else None
+        key = (
+            self.filenames[idx],
+            self.label_filenames[idx] if self.labeled else None,
+            fs,
+        )
+        if self._cache is not None and key in self._cache:
+            return self._cache[key]
         with open(os.path.join(self.ecg_dir, self.filenames[idx]), "rb") as f:
             x = pkl.load(f)
         x = np.asarray(x, dtype=np.float64)[None, :]
@@ -162,7 +171,6 @@ class ECGSemiSegDataset:
             ) as f:
                 y = pkl.load(f)
             y = np.asarray(y)[None, :]
-        fs = self.fs_list[idx] if self.fs_list is not None else None
         if self.resample is not None:
             x = self.resample(x, fs)
             if y is not None:
@@ -170,7 +178,7 @@ class ECGSemiSegDataset:
         if self.filter_fn is not None:
             x = self.filter_fn(x)
         if self._cache is not None:
-            self._cache[idx] = (x, y)
+            self._cache[key] = (x, y)
         return x, y
 
     # -- random path ---------------------------------------------------------

@@ -51,7 +51,12 @@ def epoch_indices(
         indices = np.arange(num_samples)
     total = int(math.ceil(num_samples / num_shards)) * num_shards
     if total > num_samples:
-        indices = np.concatenate([indices, indices[: total - num_samples]])
+        # wrap as many times as needed (torch DistributedSampler repeats the
+        # whole list): a single slice under-pads when the dataset is
+        # smaller than the pad amount, leaving empty shards
+        extra = total - num_samples
+        reps = int(math.ceil(extra / num_samples))
+        indices = np.concatenate([indices, np.tile(indices, reps)[:extra]])
     return indices
 
 
@@ -163,22 +168,51 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            """Blocking put that gives up if the consumer went away (a
+            plain q.put would pin this thread forever on an abandoned
+            iterator)."""
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for step in range(len(mat)):
-                    q.put(self._produce(mat[step]))
+                    if not _put(self._produce(mat[step])):
+                        return
+            except BaseException as exc:  # propagate, don't truncate
+                _put(("__loader_error__", exc))
             finally:
-                q.put(stop)
+                _put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == "__loader_error__":
+                    # a data-pipeline failure must fail the epoch, not
+                    # silently shorten it
+                    raise item[1]
+                yield item
+            t.join()
+        finally:
+            abandoned.set()
+            while not q.empty():  # unblock a producer stuck on put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def get_dataloader(

@@ -128,7 +128,16 @@ class Resample(Transform):
         return (_fourier_resample(x, m, axis=1) if self.method == "fourier"
                 else _label_resample(x, m, self.kind))
 
-    def __call__(self, x, fs=None, rng=None):  # signature differs: fs-aware
+    def __call__(self, x, fs=None, rng=None):
+        """fs-aware when the second argument is a sampling rate (the
+        dataset prefix path); label-joint when it is an array (``resample``
+        used inside an augmentation/crop pipeline, where Compose passes
+        labels positionally)."""
+        if isinstance(fs, np.ndarray):
+            y = fs
+            x = self(x)
+            y_len = self.target_length or x.shape[1]
+            return x, _label_resample(y, y_len, "nearest").astype(y.dtype)
         needs_fs_change = fs and self.target_fs and fs != self.target_fs
         if needs_fs_change:
             return self._resample(x, int(x.shape[1] * self.target_fs / fs))
@@ -249,8 +258,19 @@ class NCrop(_WindowCrop):
     def _apply(self, rng, x, y=None):
         x, y = self._as_lead_major(x, y)
         seq_len = x.shape[1]
-        step = (seq_len - self.crop_length) // (self.num_segments - 1)
-        starts = np.arange(0, seq_len - self.crop_length + 1, step)
+        gap = seq_len - self.crop_length
+        # degenerate geometries (1 segment, or more segments than spare
+        # samples) fall back to evenly spaced starts instead of a
+        # zero-step np.arange crash
+        if self.num_segments <= 1 or gap <= 0:
+            starts = np.array([max(gap, 0) // 2])
+        else:
+            step = gap // (self.num_segments - 1)
+            if step < 1:
+                starts = np.unique(
+                    np.linspace(0, gap, self.num_segments).astype(np.int64))
+            else:
+                starts = np.arange(0, gap + 1, step)
         return self._take_windows(starts, x, y)
 
 

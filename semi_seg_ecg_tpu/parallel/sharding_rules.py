@@ -25,18 +25,11 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
+from ..utils.treepath import key_path_names
 
 
 def _names(path) -> Tuple[str, ...]:
-    out = []
-    for p in path:
-        if hasattr(p, "key"):
-            out.append(str(p.key))
-        elif hasattr(p, "name"):
-            out.append(str(p.name))
-        else:
-            out.append(str(p))
-    return tuple(out)
+    return key_path_names(path)
 
 
 def spec_for_path(names: Tuple[str, ...], ndim: int) -> P:

@@ -14,21 +14,14 @@ norm) → ``num_layers``.
 
 from __future__ import annotations
 
+from .treepath import key_path_names
 from typing import Any, Dict, Set, Tuple
 
 import jax
 
 
 def _path_names(path) -> Tuple[str, ...]:
-    names = []
-    for p in path:
-        if hasattr(p, "key"):
-            names.append(str(p.key))
-        elif hasattr(p, "name"):
-            names.append(str(p.name))
-        else:
-            names.append(str(p))
-    return tuple(names)
+    return key_path_names(path)
 
 
 def get_layer_id(path_names: Tuple[str, ...], num_layers: int) -> int:

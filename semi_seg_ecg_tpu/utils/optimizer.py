@@ -25,6 +25,7 @@ import jax
 import optax
 
 from . import lr_sched
+from .treepath import key_path_names
 
 
 def make_lr_schedule(train_cfg: Dict[str, Any], steps_per_epoch: int):
@@ -71,7 +72,7 @@ def frozen_param_mask(params, config, backbone_frozen_stages: int = -1,
     freeze_all_backbone = config.get("mode") == "freeze_backbone"
 
     def is_frozen(path, leaf):
-        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        names = key_path_names(path)
         if not names or names[0] != "backbone":
             return False
         if freeze_all_backbone:

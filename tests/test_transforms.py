@@ -213,3 +213,33 @@ def test_determinism_same_rng_same_result():
     a = op(x, rng=np.random.default_rng(42))
     b = op(x, rng=np.random.default_rng(42))
     np.testing.assert_array_equal(a, b)
+
+
+def test_ncrop_degenerate_geometries(rng):
+    from semi_seg_ecg_tpu.data.transforms import NCrop
+
+    x = rng.standard_normal((1, 100))
+    # single segment: one window, no ZeroDivisionError
+    out = NCrop(crop_length=50, num_segments=1)(x, rng=rng)
+    assert out.shape == (1, 50)
+    # more segments than spare samples: evenly spaced unique starts
+    out = NCrop(crop_length=98, num_segments=10)(x, rng=rng)
+    assert out.shape[-1] == 98 and out.ndim in (2, 3)
+    # exact fit: single zero start
+    out = NCrop(crop_length=100, num_segments=4)(x, rng=rng)
+    assert out.shape == (1, 100)
+
+
+def test_resample_joint_with_labels(rng):
+    """'resample' inside a labeled pipeline receives labels positionally —
+    it must resize both, labels via nearest (was: ValueError on the array
+    lands in the fs parameter)."""
+    from semi_seg_ecg_tpu.data.transforms import Compose, Resample
+
+    x = rng.standard_normal((1, 100))
+    y = rng.integers(0, 4, (1, 100))
+    t = Compose([Resample(target_length=50)])
+    xo, yo = t(x, y, rng=rng)
+    assert xo.shape == (1, 50) and yo.shape == (1, 50)
+    assert yo.dtype == y.dtype
+    assert set(np.unique(yo)) <= set(np.unique(y))
