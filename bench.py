@@ -123,7 +123,9 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     # one AOT compile serves both the timing loop and the FLOPs estimate
     # (jit dispatch would compile the same program a second time)
     compiled = train_step.lower(state, run_batch).compile()
-    flops_per_call = _flops_per_call(compiled)  # per device, post-SPMD
+    # per device, post-SPMD; cost_analysis counts a lax.scan BODY once, so
+    # a K-step scan program must be scaled by its trip count
+    flops_per_call = _flops_per_call(compiled) * scan_k
 
     for _ in range(max(warmup // scan_k, 2)):
         state, metrics = compiled(state, run_batch)
@@ -157,7 +159,8 @@ def main(steps: int = 100, warmup: int = 10) -> None:
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 2),
         "mfu": mfu,
-        "flops_per_step": flops_per_call / scan_k if flops_per_call else None,
+        "flops_per_step": (flops_per_call / scan_k
+                           if flops_per_call else None),  # one train step
         "device_kind": kind,
         "baseline": BASELINE_PROVENANCE,
     }))

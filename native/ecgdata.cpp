@@ -241,9 +241,14 @@ extern "C" void ecg_resample_nearest(const double* y, int64_t n, double* out,
 
 extern "C" void ecg_resample_zero(const double* y, int64_t n, double* out,
                                   int64_t m) {
-  const double step = (m > 1) ? double(n - 1) / double(m - 1) : 0.0;
+  // positions follow np.linspace(0, n-1, m): compute each as a single
+  // product-quotient so the LAST position is exactly n-1 — the factored
+  // form i*((n-1)/(m-1)) can round a hair below and pick y[n-2] where
+  // scipy's interp1d(kind='zero') picks y[n-1]
   for (int64_t i = 0; i < m; i++) {
-    int64_t idx = int64_t(std::floor(double(i) * step));
+    double t = (m > 1) ? double(i) * double(n - 1) / double(m - 1) : 0.0;
+    if (i == m - 1) t = double(n - 1);
+    int64_t idx = int64_t(std::floor(t));
     idx = std::max<int64_t>(0, std::min<int64_t>(n - 1, idx));
     out[i] = y[idx];
   }

@@ -67,7 +67,7 @@ def make_config(data_cfg, out_dir, mode, epochs, length, scan_steps):
                     {"RandomPartialSineNoise": {"amplitude": 1.0,
                                                 "freq": 0.5, "ratio": 0.5}},
                 ],
-                "level": 10, "num_layers": 2, "prob": 0.5,
+                "level": 10, "num_layers": 3, "prob": 0.5,
             }},
         ],
         "transforms": [{"standardize": {"axis": [-1, -2]}},
@@ -121,8 +121,12 @@ def main():
 
     results = {}
     for mode in args.modes.split(","):
-        # warm the in-process XLA compile cache so the two timed runs are
-        # both compile-free (the slope would otherwise go negative)
+        # warm run: fills the dataset prefix/file caches and absorbs
+        # first-use costs. NOTE the jitted step bakes train.epochs into
+        # its LR-schedule constants, so the 2- and 6-epoch runs still
+        # compile separate (structurally identical) programs — the slope
+        # cancels their roughly-equal compile times, not the compiles
+        # themselves.
         run_once(data_cfg, root, mode, 1, args.length, args.scan_steps)
         short = run_once(data_cfg, root, mode, args.epochs, args.length,
                          args.scan_steps)

@@ -87,8 +87,14 @@ def to_framework(args) -> None:
         params, stats = {"backbone": params}, {"backbone": stats}
     ema = None
     if isinstance(payload, dict) and payload.get("model_ema"):
+        # mirror the main model's handling: same (possibly backbone-only)
+        # templates, same backbone re-wrapping — the two trees must share
+        # one structure or restore_model_state fails on resume
         ema_p, ema_s = torch_sd_to_trees(payload["model_ema"], params_t,
-                                         stats_t)
+                                         stats_t,
+                                         backbone_only=backbone_only)
+        if backbone_only:
+            ema_p, ema_s = {"backbone": ema_p}, {"backbone": ema_s}
         ema = ModelState(params=ema_p, batch_stats=ema_s)
     ckpt.save_checkpoint(
         args.dst,

@@ -9,28 +9,25 @@ Run: ``python tools/validate_ssl.py [--algorithms base fixmatch ...]``
 """
 
 import argparse
+import json
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import tempfile, os, json
-from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
-from semi_seg_ecg_tpu.algorithms import get_algorithm
-from semi_seg_ecg_tpu.config import normalize_config
 
-root = tempfile.mkdtemp(prefix="ssl_validate_")
-data = make_synthetic_dataset(root, num_train_labeled=8, num_train_unlabeled=96,
-                              num_valid=16, num_test=32, length=2500, seed=11)
+def cfg(algo, exp, root, data, epochs):
+    from semi_seg_ecg_tpu.config import normalize_config
 
-def cfg(algo, exp):
     d = {
         "seed": 0, "output_dir": os.path.join(root, "exps"), "exp_name": exp,
         "resume": None, "start_epoch": 0, "device": None, "use_amp": True,
         "algorithm": algo, "mode": "scratch", "pretrained_backbone": None,
         "backbone": {"resnet18": {"num_leads": 1, "num_stages": 4,
-            "out_indices": [0,1,2,3], "dilations": [1,1,1,1], "strides": [1,2,2,2],
-            "deep_stem": False, "avg_down": False, "contract_dilation": False}},
+            "out_indices": [0, 1, 2, 3], "dilations": [1, 1, 1, 1],
+            "strides": [1, 2, 2, 2], "deep_stem": False, "avg_down": False,
+            "contract_dilation": False}},
         "decode_head": {"FCNHead": {"in_channels": 512, "in_index": 3,
             "channels": 128, "num_convs": 1, "concat_input": False,
             "dropout_ratio": 0.1, "num_classes": 4, "align_corners": False}},
@@ -45,10 +42,11 @@ def cfg(algo, exp):
                 {"RandomPartialWhiteNoise": {"amplitude": 1, "ratio": 0.5}},
                 {"RandomPartialSineNoise": {"amplitude": 1, "ratio": 0.5}},
             ], "level": 10, "num_layers": 3, "prob": 0.5}}],
-            "transforms": [{"standardize": {"axis": [-1,-2]}},
+            "transforms": [{"standardize": {"axis": [-1, -2]}},
                            {"to_tensor": {"dtype": "float"}}]},
-        "dataloader": {"batch_size": 4, "num_workers": 8, "pin_memory": False},
-        "train": {"epochs": args.epochs, "accum_iter": 1, "warmup_epochs": 3,
+        "dataloader": {"batch_size": 4, "num_workers": 8,
+                       "pin_memory": False},
+        "train": {"epochs": epochs, "accum_iter": 1, "warmup_epochs": 3,
             "min_lr": 1e-4, "blr": None, "lr": 1e-3, "weight_decay": 0.05,
             "max_norm": None, "layer_decay": None, "optimizer": "adamw",
             "optimizer_kwargs": {"betas": [0.9, 0.999]},
@@ -67,18 +65,32 @@ def cfg(algo, exp):
                           contr_num_negatives=128)
     return normalize_config(d)
 
-ap = argparse.ArgumentParser()
-ap.add_argument("--algorithms", nargs="+",
-                default=["base", "fixmatch", "mean_teacher", "cps", "reco",
-                         "stpp"])
-ap.add_argument("--epochs", type=int, default=25)
-args = ap.parse_args()
 
-results = {}
-for algo in args.algorithms:
-    c = cfg(algo, f"ssl_{algo}")
-    get_algorithm(algo).train(c)
-    m = get_algorithm(algo).test(c)
-    results[algo] = m["MeanIoU"]
-    print("RESULT", algo, m)
-print(json.dumps(results))
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algorithms", nargs="+",
+                    default=["base", "fixmatch", "mean_teacher", "cps",
+                             "reco", "stpp"])
+    ap.add_argument("--epochs", type=int, default=25)
+    args = ap.parse_args()
+
+    from semi_seg_ecg_tpu.algorithms import get_algorithm
+    from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tempfile.mkdtemp(prefix="ssl_validate_")
+    data = make_synthetic_dataset(
+        root, num_train_labeled=8, num_train_unlabeled=96,
+        num_valid=16, num_test=32, length=2500, seed=11,
+    )
+    results = {}
+    for algo in args.algorithms:
+        c = cfg(algo, f"ssl_{algo}", root, data, args.epochs)
+        get_algorithm(algo).train(c)
+        m = get_algorithm(algo).test(c)
+        results[algo] = m["MeanIoU"]
+        print("RESULT", algo, m)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
