@@ -330,8 +330,9 @@ def _make_device_op(name: str, kwargs: Dict[str, Any],
 
         def powerline(key, x, op_fs=op_fs):
             b, c, t = x.shape
-            hi = jnp.percentile(x, 95, axis=2, keepdims=True)
-            lo = jnp.percentile(x, 5, axis=2, keepdims=True)
+            # one sort serves both robust quantiles
+            lo, hi = jnp.percentile(x, jnp.array([5.0, 95.0]), axis=2,
+                                    keepdims=True)
             mains = jnp.where(jax.random.uniform(key, (b, 1, 1)) < 0.5,
                               50.0, 60.0)
             tt = (jnp.arange(t) / op_fs)[None, None, :]
