@@ -119,7 +119,10 @@ def test_two_process_cpu_cluster(e2e_data, tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            # generous: two fresh JAX processes each compile a ResNet train
+            # step + eval on CPU; under a fully loaded machine (suite
+            # runs, TPU relay) 420 s has proven flaky
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
