@@ -45,33 +45,15 @@ def make_config(data_cfg, out_dir, mode, epochs, length, scan_steps):
         "test": {"target_metric": "MeanIoU"},
         "async_checkpoint": True,
     })
+    from tools.gen_configs import flagship_data_recipe
+
     config["dataset"] = {
         **data_cfg,
         "signal_length": length,
         "device_augment": mode != "host",
         "device_cache": mode.startswith("cache"),
-        # flagship FixMatch recipe shape (configs/base/resnet18/fixmatch.yaml)
-        "filter": [{"highpass_filter": {"fs": 250, "cutoff": 0.67}},
-                   {"lowpass_filter": {"fs": 250, "cutoff": 40}}],
-        "augmentations": [
-            {"random_resize_crop": {"target_length": length,
-                                    "scale_min": 0.5, "scale_max": 2.0}},
-        ],
-        "strong_augmentations": [
-            {"RandAugment": {
-                "ops": [
-                    {"AmplitudeScaling": {"sigma": 0.5}},
-                    {"AdaptivePowerlineNoise": {"fs": 250}},
-                    {"RandomPartialWhiteNoise": {"amplitude": 1.0,
-                                                 "ratio": 0.5}},
-                    {"RandomPartialSineNoise": {"amplitude": 1.0,
-                                                "freq": 0.5, "ratio": 0.5}},
-                ],
-                "level": 10, "num_layers": 3, "prob": 0.5,
-            }},
-        ],
-        "transforms": [{"standardize": {"axis": [-1, -2]}},
-                       {"to_tensor": {"dtype": "float"}}],
+        # the one flagship recipe definition (tools/gen_configs.py)
+        **flagship_data_recipe(length),
     }
     config["dataloader"] = {"batch_size": 16, "num_workers": 8}
     config["train"]["epochs"] = epochs

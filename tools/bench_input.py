@@ -57,34 +57,9 @@ def main():
         base = make_synthetic_dataset(root, num_train_labeled=8,
                                       num_train_unlabeled=64, num_valid=4,
                                       num_test=4, length=2500)
-        full_cfg = {
-            **base,
-            "filter": [
-                {"highpass_filter": {"fs": 250, "cutoff": 0.67}},
-                {"lowpass_filter": {"fs": 250, "cutoff": 40}},
-            ],
-            "augmentations": [
-                {"random_resize_crop": {"target_length": 2500,
-                                        "scale_min": 0.5, "scale_max": 2.0}},
-            ],
-            "strong_augmentations": [
-                {"RandAugment": {
-                    "ops": [
-                        {"AmplitudeScaling": {"sigma": 0.5}},
-                        {"AdaptivePowerlineNoise": {"fs": 250}},
-                        {"RandomPartialWhiteNoise": {"amplitude": 1,
-                                                     "ratio": 0.5}},
-                        {"RandomPartialSineNoise": {"amplitude": 1,
-                                                    "ratio": 0.5}},
-                    ],
-                    "level": 10, "num_layers": 3, "prob": 0.5,
-                }},
-            ],
-            "transforms": [
-                {"standardize": {"axis": [-1, -2]}},
-                {"to_tensor": {"dtype": "float"}},
-            ],
-        }
+        from tools.gen_configs import flagship_data_recipe
+
+        full_cfg = {**base, **flagship_data_recipe(2500)}
         raw_cfg = {**full_cfg, "augmentations": None,
                    "strong_augmentations": None,
                    "transforms": [{"to_tensor": {"dtype": "float"}}]}

@@ -62,6 +62,30 @@ STRONG_AUG = [
     }},
 ]
 
+
+def flagship_data_recipe(length: int = 2500) -> dict:
+    """The FixMatch flagship pipeline blocks (filter / weak / strong /
+    transforms) — the ONE definition every benchmark/validation tool
+    merges over its dataset config, so recipes can't drift from the
+    generated YAMLs (they did once: a benchmark shipped num_layers 2)."""
+    return {
+        "filter": [
+            {"highpass_filter": {"fs": 250, "cutoff": 0.67}},
+            {"lowpass_filter": {"fs": 250, "cutoff": 40}},
+        ],
+        "augmentations": [
+            {"random_resize_crop": {"target_length": length,
+                                    "scale_min": 0.5, "scale_max": 2.0}},
+        ],
+        "strong_augmentations": STRONG_AUG,
+        "transforms": [
+            {"standardize": {"axis": [-1, -2]}},
+            {"to_tensor": {"dtype": "float"}},
+        ],
+    }
+
+RECIPE = flagship_data_recipe(2500)
+
 ALGO_TRAIN_EXTRAS = {
     "scratch": {},
     "mean_teacher": {"ema_decay": 0.99},
@@ -105,21 +129,12 @@ def base_config(backbone: str, algo: str) -> dict:
         "signal_length": 2500,
         "cache": True,            # cache the resample+filter prefix in RAM
         "device_augment": False,  # True = fuse augmentation into the step
-        "filter": [
-            {"highpass_filter": {"fs": 250, "cutoff": 0.67}},
-            {"lowpass_filter": {"fs": 250, "cutoff": 40}},
-        ],
-        "augmentations": [
-            {"random_resize_crop": {"target_length": 2500,
-                                    "scale_min": 0.5, "scale_max": 2.0}},
-        ],
+        "filter": RECIPE["filter"],
+        "augmentations": RECIPE["augmentations"],
     })
     if algo in STRONG:
-        dataset["strong_augmentations"] = STRONG_AUG
-    dataset["transforms"] = [
-        {"standardize": {"axis": [-1, -2]}},
-        {"to_tensor": {"dtype": "float"}},
-    ]
+        dataset["strong_augmentations"] = RECIPE["strong_augmentations"]
+    dataset["transforms"] = RECIPE["transforms"]
 
     cfg = {
         "seed": 0,

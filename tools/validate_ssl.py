@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def cfg(algo, exp, root, data, epochs):
     from semi_seg_ecg_tpu.config import normalize_config
+    from tools.gen_configs import flagship_data_recipe
 
     d = {
         "seed": 0, "output_dir": os.path.join(root, "exps"), "exp_name": exp,
@@ -31,19 +32,7 @@ def cfg(algo, exp, root, data, epochs):
         "decode_head": {"FCNHead": {"in_channels": 512, "in_index": 3,
             "channels": 128, "num_convs": 1, "concat_input": False,
             "dropout_ratio": 0.1, "num_classes": 4, "align_corners": False}},
-        "dataset": {**data,
-            "filter": [{"highpass_filter": {"fs": 250, "cutoff": 0.67}},
-                       {"lowpass_filter": {"fs": 250, "cutoff": 40}}],
-            "augmentations": [{"random_resize_crop": {"target_length": 2500,
-                               "scale_min": 0.5, "scale_max": 2.0}}],
-            "strong_augmentations": [{"RandAugment": {"ops": [
-                {"AmplitudeScaling": {"sigma": 0.5}},
-                {"AdaptivePowerlineNoise": {"fs": 250}},
-                {"RandomPartialWhiteNoise": {"amplitude": 1, "ratio": 0.5}},
-                {"RandomPartialSineNoise": {"amplitude": 1, "ratio": 0.5}},
-            ], "level": 10, "num_layers": 3, "prob": 0.5}}],
-            "transforms": [{"standardize": {"axis": [-1, -2]}},
-                           {"to_tensor": {"dtype": "float"}}]},
+        "dataset": {**data, **flagship_data_recipe(2500)},
         "dataloader": {"batch_size": 4, "num_workers": 8,
                        "pin_memory": False},
         "train": {"epochs": epochs, "accum_iter": 1, "warmup_epochs": 3,
