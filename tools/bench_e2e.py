@@ -36,6 +36,10 @@ MODES = ("host", "device", "device+scan", "cache", "cache+scan")
 def make_config(data_cfg, out_dir, mode, epochs, length, scan_steps):
     config = _flagship_config(signal_length=length)
     config.update({
+        # out_dir None disables checkpoints/TB entirely: this benchmark
+        # measures the INPUT PATH (loader + transfers + step + eval); on a
+        # slow host link per-epoch best-checkpoint fetches would otherwise
+        # dominate every mode equally (pass --artifacts to include them)
         "output_dir": out_dir,
         "exp_name": f"bench_{mode.replace('+', '_')}_{epochs}",
         "resume": None,
@@ -87,6 +91,10 @@ def main():
     ap.add_argument("--scan-steps", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=2,
                     help="short run length; long run adds 4 epochs")
+    ap.add_argument("--artifacts", action="store_true",
+                    help="write checkpoints/TB during timed runs (off by "
+                         "default: they measure the host link, not the "
+                         "input path)")
     args = ap.parse_args()
 
     from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
@@ -109,10 +117,11 @@ def main():
         # compile separate (structurally identical) programs — the slope
         # cancels their roughly-equal compile times, not the compiles
         # themselves.
-        run_once(data_cfg, root, mode, 1, args.length, args.scan_steps)
-        short = run_once(data_cfg, root, mode, args.epochs, args.length,
+        out = root if args.artifacts else None
+        run_once(data_cfg, out, mode, 1, args.length, args.scan_steps)
+        short = run_once(data_cfg, out, mode, args.epochs, args.length,
                          args.scan_steps)
-        long = run_once(data_cfg, root, mode, args.epochs + 4, args.length,
+        long = run_once(data_cfg, out, mode, args.epochs + 4, args.length,
                         args.scan_steps)
         steady = (long - short) / 4
         sps = steps_per_epoch * 16 / steady
