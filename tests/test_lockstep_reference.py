@@ -161,6 +161,9 @@ def _our_setup(config, torch_model):
         {"params": jax.random.key(0), "dropout": jax.random.key(1),
          "droppath": jax.random.key(2)},
         dummy, train=False,
+        # trace the ReCo projection head's params too (no-op without
+        # use_latent_projection; cf. common.init_model_state)
+        return_latent=model.with_projection,
     )
     params, stats = torch_sd_to_trees(
         {k: v.numpy() for k, v in torch_model.state_dict().items()},
@@ -195,14 +198,23 @@ def _run_ours(make_train_step, model, tx, config, state, batches,
 
 
 def _assert_series_close(ours, ref_series, ctl_series, factor=4.0,
-                         atol=5e-4, rtol=1e-3, what=""):
+                         atol=5e-4, rtol=1e-3, what="", cummax=False):
     """Per-step scalar series must track the reference within its own chaos
     envelope: early steps are tight (rtol), later steps are bounded by
-    ``factor ×`` the reference-vs-perturbed-twin divergence at that step."""
+    ``factor ×`` the reference-vs-perturbed-twin divergence at that step.
+
+    ``cummax`` bounds by the twin divergence's running max instead: a
+    single twin draw can transiently re-cross the reference trajectory
+    (|ref-ctl| ≈ 0 mid-run) without the underlying chaos having shrunk —
+    used by envelopes driven by sampling noise (ReCo) rather than a 1e-6
+    init perturbation."""
     ours = np.asarray(ours)
     ref = np.asarray(ref_series)
     ctl = np.asarray(ctl_series)
-    bound = np.maximum(factor * np.abs(ref - ctl),
+    env = np.abs(ref - ctl)
+    if cummax:
+        env = np.maximum.accumulate(env)
+    bound = np.maximum(factor * env,
                        np.maximum(atol, rtol * np.abs(ref)))
     bad = np.abs(ours - ref) > bound
     if bad.any():
