@@ -65,10 +65,15 @@ def calculate_miou(inter: np.ndarray, psum: np.ndarray, tsum: np.ndarray,
 
 
 def select_reliable(
-    model, snapshot_states: List[ModelState], loader, mesh, num_classes: int
-) -> Tuple[List[int], List[int]]:
+    model, snapshot_states: List[ModelState], loader, mesh, num_classes: int,
+    return_values: bool = False,
+):
     """Reliability ranking (stpp.py:45-88): agreement of each earlier
-    snapshot with the final one, averaged; descending sort; top half."""
+    snapshot with the final one, averaged; descending sort; top half.
+
+    ``return_values`` additionally returns the per-sample reliability
+    array (dataset order) — used by parity tests to distinguish real
+    ranking divergence from fp32 near-ties."""
 
     @jax.jit
     def agreement_fn(states, batch):
@@ -121,6 +126,8 @@ def select_reliable(
         _allgather_rows(rows, [reliability])
     order = np.argsort(-reliability, kind="stable")
     half = len(order) // 2
+    if return_values:
+        return order[:half].tolist(), order[half:].tolist(), reliability
     return order[:half].tolist(), order[half:].tolist()
 
 
@@ -134,9 +141,10 @@ def snapshot_epoch_list(num_epochs: int) -> List[int]:
             max(num_epochs, 1)]
 
 
-def prepare_semisup(config) -> List[int]:
+def prepare_semisup(config, return_values: bool = False):
     """Load the 3 stage-1 snapshots and rank the unlabeled set
-    (stpp.py:452-484)."""
+    (stpp.py:452-484). Returns the reliable ids (plus the per-sample
+    reliability array when ``return_values``)."""
     mesh = make_mesh(config)
     ds = build_seg_dataset(config["dataset"], split="train_unlabeled",
                            mode="eval")
@@ -159,11 +167,14 @@ def prepare_semisup(config) -> List[int]:
             os.path.join(stage1, f"checkpoint-{e}.ckpt")
         )
         states.append(ckpt.restore_model_state(payload["model"], template))
-    reliable, _unreliable = select_reliable(
-        model, states, loader, mesh, config["metric"]["num_classes"]
+    reliable, _unreliable, values = select_reliable(
+        model, states, loader, mesh, config["metric"]["num_classes"],
+        return_values=True,
     )
     log(f"ST++ reliability ranking: {len(reliable)} reliable / "
         f"{len(_unreliable)} unreliable unlabeled samples")
+    if return_values:
+        return reliable, values
     return reliable
 
 

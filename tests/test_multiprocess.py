@@ -135,6 +135,74 @@ def test_two_process_cpu_cluster(e2e_data, tmp_path):
     assert os.path.exists(tmp_path / "ok1")
 
 
+def test_four_process_cpu_cluster(e2e_data, tmp_path):
+    """4 processes × 2 devices: the >2-host branches actually iterate —
+    ``_allgather_rows`` scatters 3 peers' rows, ST++ ``prepare_semisup``
+    ranks from 4 host-local shards, ``run_inference`` reassembles output
+    rows from 4 hosts (VERDICT r2 #5). Rank 0 asserts bitwise parity with
+    the single-process goldens computed here first."""
+    from semi_seg_ecg_tpu.algorithms.common import init_model_state
+    from semi_seg_ecg_tpu.algorithms.stpp import prepare_semisup
+    from semi_seg_ecg_tpu.algorithms.common import run_inference
+    from semi_seg_ecg_tpu.models import build_model_from_config
+    from semi_seg_ecg_tpu.utils import checkpoint as ckpt
+
+    config = _mp_config(e2e_data)
+    config["output_dir"] = str(tmp_path)
+    config["exp_name"] = "stpp_mp4"
+    config["train"]["epochs"] = 3  # snapshot epochs [1, 2, 3]
+    config["test"] = {"target_metric": "MeanIoU"}
+    with open(tmp_path / "config.pkl", "wb") as f:
+        pickle.dump(config, f)
+
+    # fabricate the stage-1 snapshots + a best checkpoint (differently
+    # seeded inits stand in for the 1/3 / 2/3 / final stage-1 states)
+    exp = tmp_path / "stpp_mp4"
+    (exp / "stage1").mkdir(parents=True)
+    model = build_model_from_config(config, train=False)
+    for e in (1, 2, 3):
+        state = init_model_state(model, config, seed=50 + e)
+        ckpt.save_checkpoint(str(exp / "stage1" / f"checkpoint-{e}.ckpt"),
+                             epoch=e - 1, model_state=state)
+    ckpt.save_checkpoint(str(exp / "best-MeanIoU.ckpt"), epoch=2,
+                         model_state=init_model_state(model, config, seed=53))
+
+    # goldens: same calls, this single-process 8-device session
+    golden_reliable, golden_values = prepare_semisup(config,
+                                                     return_values=True)
+    golden_outputs = run_inference(config)
+    np.savez(tmp_path / "golden4.npz",
+             reliable=np.asarray(golden_reliable),
+             reliability=golden_values, outputs=golden_outputs)
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker4.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(4)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER{pid}-OK" in out
+    for pid in range(4):
+        assert os.path.exists(tmp_path / f"ok4_{pid}")
+
+
 def test_host_shard_args_divisibility_guard(monkeypatch):
     from semi_seg_ecg_tpu.algorithms import common
 
