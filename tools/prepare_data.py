@@ -51,7 +51,7 @@ def annotations_to_mask(ann, length: int, symbol_map) -> np.ndarray:
     return mask
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--records_dir", required=True)
     ap.add_argument("--out_dir", required=True)
@@ -65,7 +65,7 @@ def main():
                     help="fraction of train kept labeled (rest → unlabeled)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--prefix", default="DATA")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     try:
         import wfdb
