@@ -9,6 +9,16 @@ optimizer update — all one jitted XLA program.
 Baseline: the measured PyTorch-CPU equivalent (tools/bench_torch_baseline.py;
 see BASELINE.md) — the reference repo publishes no numbers (SURVEY §6).
 
+Tunnel-proofing (VERDICT r2 #2): the remote-TPU link's dispatch latency and
+D2H bandwidth degrade independently of the hardware (NOTES.md "Environment
+pitfalls"), so the bench (a) probes link health first and reports it in the
+JSON line, (b) times with the slope method — T(2N)−T(N) sequential calls,
+blocking on a single param leaf — which cancels the blocking RTT and the
+fixed warmup the old one-shot window absorbed into the rate, and (c) when
+dispatch is degraded, also measures the ``lax.scan`` K-steps-per-dispatch
+program and reports whichever is faster (per-step wins on a healthy link,
+scan amortises a congested one — both regimes measured in NOTES.md).
+
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}``
 """
@@ -46,6 +56,11 @@ _PEAK_BF16_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+# Healthy-link reference points measured on this setup (NOTES.md): dispatch
+# ~0.2-0.3 ms/call, D2H tens of MB/s. Breaching these marks the run degraded.
+_DISPATCH_HEALTHY_MS = 1.0
+_D2H_HEALTHY_MBPS = 1.0
+
 
 def _flops_per_call(compiled) -> float:
     """XLA-reported FLOPs for one compiled step (0.0 if unavailable)."""
@@ -58,7 +73,52 @@ def _flops_per_call(compiled) -> float:
         return 0.0
 
 
-def main(steps: int = 100, warmup: int = 10) -> None:
+def probe_link():
+    """H2D bandwidth, dispatch latency, D2H bandwidth through the (possibly
+    remote) device link. D2H is probed in stages — 16 KB first — so a
+    collapsed path (~KB/s, NOTES.md) costs seconds, not minutes."""
+    import jax
+
+    dev = jax.devices()[0]
+    out = {}
+
+    x = np.random.default_rng(0).standard_normal((256, 1024)).astype(
+        np.float32)  # 1 MB
+    t0 = time.perf_counter()
+    xd = jax.device_put(x, dev)
+    xd.block_until_ready()
+    out["h2d_mbps"] = round(1.0 / (time.perf_counter() - t0), 1)
+
+    f = jax.jit(lambda a: a + 1.0)
+    y = f(xd)
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(20):
+        y = f(y)
+    y.block_until_ready()
+    out["dispatch_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
+
+    small = y[:4]  # 16 KB
+    small.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(small)
+    dt_small = time.perf_counter() - t0
+    if dt_small > 2.0:  # ≤ 8 KB/s — don't wait minutes for the 1 MB probe
+        out["d2h_mbps"] = round(16e-3 / dt_small, 4)
+    else:
+        t0 = time.perf_counter()
+        np.asarray(y)
+        out["d2h_mbps"] = round(1.0 / (time.perf_counter() - t0), 2)
+
+    out["healthy"] = (out["dispatch_ms"] < _DISPATCH_HEALTHY_MS
+                      and out["d2h_mbps"] > _D2H_HEALTHY_MBPS)
+    return out
+
+
+def _build(scan_k: int):
+    """Compile the benchmark program: the per-step FixMatch train step
+    (scan_k=1) or a K-step ``lax.scan`` over it. Returns
+    ``(compiled, state, run_batch, flops_per_call, global_batch)``."""
     import jax
 
     from __graft_entry__ import _flagship_config
@@ -75,7 +135,6 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     config = _flagship_config(signal_length=sig_len,
                               batch_per_replica=batch_per_replica)
     mesh = make_mesh(config)
-    n_chips = len(jax.devices())
     dp = data_parallel_size(mesh)
     global_batch = batch_per_replica * dp
 
@@ -96,10 +155,6 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     }
     batch = jax.device_put(batch, batch_sharding(mesh))
 
-    # BENCH_SCAN_STEPS>1 exercises the train.scan_steps path (K steps per
-    # dispatch; 2.3x per-step dispatch through a congested link, see
-    # NOTES.md) — the default stays per-step for comparability across rounds
-    scan_k = int(os.environ.get("BENCH_SCAN_STEPS", "1"))
     inner = make_train_step(model, tx, config, 1000)
     if scan_k > 1:
         from semi_seg_ecg_tpu.parallel.mesh import shard_stacked_batch
@@ -118,53 +173,95 @@ def main(steps: int = 100, warmup: int = 10) -> None:
     else:
         train_step = jax.jit(inner, donate_argnums=0)
         run_batch = batch
-    calls = max(steps // scan_k, 1)
 
     # one AOT compile serves both the timing loop and the FLOPs estimate
-    # (jit dispatch would compile the same program a second time)
+    # (jit dispatch would compile the same program a second time).
+    # cost_analysis counts a lax.scan BODY once → scale by trip count.
     compiled = train_step.lower(state, run_batch).compile()
-    # per device, post-SPMD; cost_analysis counts a lax.scan BODY once, so
-    # a K-step scan program must be scaled by its trip count
     flops_per_call = _flops_per_call(compiled) * scan_k
+    return compiled, state, run_batch, flops_per_call, global_batch
 
-    for _ in range(max(warmup // scan_k, 2)):
-        state, metrics = compiled(state, run_batch)
-    jax.block_until_ready(metrics["loss"])
 
-    # best of 3 trials: remote-tunnel scheduling noise only ever slows a
-    # trial down, so the max is the cleanest hardware-rate estimate
-    best_dt = float("inf")
-    for _ in range(3):
+def _measure(compiled, state, run_batch, calls: int, trials: int = 3):
+    """Best-of-``trials`` slope timing: run N then 2N sequential calls,
+    blocking on one param leaf each time; ``T(2N) − T(N)`` cancels the
+    blocking RTT and any fixed ramp-up, leaving N calls of steady-state
+    rate. Returns (seconds per N calls, final state)."""
+    import jax
+
+    def leaf(s):
+        return jax.tree.leaves(s.model.params)[0]
+
+    def run(n, s):
         t0 = time.perf_counter()
-        for _ in range(calls):
-            state, metrics = compiled(state, run_batch)
-        jax.block_until_ready(metrics["loss"])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        for _ in range(n):
+            s, _ = compiled(s, run_batch)
+        jax.block_until_ready(leaf(s))
+        return time.perf_counter() - t0, s
 
-    samples_per_sec = calls * scan_k * global_batch / best_dt
-    per_chip = samples_per_sec / n_chips
+    # warmup (also first real execution after AOT compile)
+    _, state = run(max(calls // 10, 2), state)
 
-    # Model FLOP utilisation: XLA's own cost model for the whole jitted
-    # step (fwd + bwd + optimizer, all passes) against the chip's peak.
-    # cost_analysis() reports the per-device (post-SPMD-partition) FLOPs,
-    # so this is already a per-chip rate — no further division.
+    best = float("inf")
+    for _ in range(trials):
+        t_n, state = run(calls, state)
+        t_2n, state = run(2 * calls, state)
+        best = min(best, t_2n - t_n)
+    return best, state
+
+
+def main(steps: int = 100) -> None:
+    import jax
+
+    link = probe_link()
+
     kind = jax.devices()[0].device_kind
+    n_chips = len(jax.devices())
     peak = _PEAK_BF16_FLOPS.get(kind)
-    achieved_flops = flops_per_call * calls / best_dt
-    mfu = round(achieved_flops / peak, 4) if peak and flops_per_call else None
+
+    def throughput(scan_k):
+        calls = max(steps // scan_k, 1)
+        compiled, state, run_batch, flops_call, global_batch = _build(scan_k)
+        dt, _ = _measure(compiled, state, run_batch, calls)
+        sps = calls * scan_k * global_batch / dt
+        achieved = flops_call * calls / dt
+        mfu = (round(achieved / peak, 4)
+               if peak and flops_call else None)
+        return sps, mfu, flops_call / max(scan_k, 1)
+
+    scan_env = int(os.environ.get("BENCH_SCAN_STEPS", "0"))
+    if scan_env > 1:
+        modes = [(scan_env, f"scan{scan_env}")]
+    else:
+        modes = [(1, "per-step")]
+        # a congested dispatch path makes per-step host-bound; the scan
+        # program amortises K steps per dispatch (NOTES.md: 2.3x better
+        # there, ~2.4x worse on a healthy link) — measure both, keep best
+        if link["dispatch_ms"] >= _DISPATCH_HEALTHY_MS:
+            modes.append((8, "scan8"))
+
+    results = []
+    for scan_k, name in modes:
+        sps, mfu, flops_step = throughput(scan_k)
+        results.append({"mode": name, "samples_per_sec": round(sps, 2),
+                        "mfu": mfu, "flops_per_step": flops_step})
+    best = max(results, key=lambda r: r["samples_per_sec"])
+    per_chip = best["samples_per_sec"] / n_chips
 
     print(json.dumps({
         "metric": "fixmatch_resnet18_train_samples_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 2),
-        "mfu": mfu,
-        "flops_per_step": (flops_per_call / scan_k
-                           if flops_per_call else None),  # one train step
+        "mfu": best["mfu"],
+        "flops_per_step": best["flops_per_step"],
+        "mode": best["mode"],
         "device_kind": kind,
+        "link": link,
+        "all_modes": results if len(results) > 1 else None,
         "baseline": BASELINE_PROVENANCE,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(steps=int(os.environ.get("BENCH_STEPS", "100")))

@@ -1,0 +1,180 @@
+"""Kernel-level profile of the flagship FixMatch train step (VERDICT r2 #1).
+
+Captures a ``jax.profiler.trace`` of N executed steps (the per-step program
+by default; ``--scan K`` profiles the ``lax.scan`` K-steps-per-dispatch
+program instead, for the scan-vs-dispatch anomaly), converts the xplane
+with the installed ``xprof`` tooling, and prints:
+
+- the top kernels by self time (name, category, occurrences, total µs,
+  per-step µs, %)
+- a category rollup (convolution / fusion / all-reduce / ...)
+- the per-step device-busy time implied by the trace vs the wall step time
+
+Usage:
+  python tools/profile_step.py [--steps 20] [--scan K] [--out DIR]
+      [--tool hlo_stats] [--keep]
+
+Works on CPU (functional check) and TPU (the real target). The trace dir is
+deleted afterwards unless --keep.
+"""
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _rows_from_gviz(data):
+    """gviz DataTable JSON → list of dicts keyed by column id."""
+    if isinstance(data, (bytes, str)):
+        data = json.loads(data)
+    if isinstance(data, list):  # framework_op_stats returns [device, host]
+        data = data[0]
+    cols = [c.get("id") or c.get("label") for c in data["cols"]]
+    rows = []
+    for r in data["rows"]:
+        rows.append({c: (cell or {}).get("v") for c, cell in
+                     zip(cols, r["c"])})
+    return rows
+
+
+def capture(steps: int, scan_k: int, logdir: str):
+    """Run the benchmark program under the profiler; returns wall s/step."""
+    import jax
+
+    from bench import _build  # the exact benchmarked program
+
+    compiled, state, run_batch, _, _ = _build(max(scan_k, 1))
+    calls = max(steps // max(scan_k, 1), 1)
+
+    def leaf(s):
+        return jax.tree.leaves(s.model.params)[0]
+
+    for _ in range(3):  # warmup
+        state, _ = compiled(state, run_batch)
+    jax.block_until_ready(leaf(state))
+
+    with jax.profiler.trace(logdir):
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            state, _ = compiled(state, run_batch)
+        jax.block_until_ready(leaf(state))
+        wall = time.perf_counter() - t0
+    return wall / (calls * max(scan_k, 1)), calls
+
+
+def tool_rows(logdir: str, tool: str):
+    from xprof.convert import raw_to_tool_data as rtd
+
+    paths = sorted(glob.glob(
+        os.path.join(logdir, "plugins", "profile", "*", "*.xplane.pb")))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {logdir} — trace capture "
+                         "failed (remote-tunnel limitation?)")
+    data, _ctype = rtd.xspace_to_tool_data(paths, tool, {})
+    return _rows_from_gviz(data)
+
+
+def _num(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return 0.0
+
+
+def report_hlo_stats(rows, steps_traced: int, wall_per_step_us: float,
+                     top: int = 25):
+    """hlo_stats (xprof 2.21 column ids: hlo_op_name / category /
+    occurrences / total_self_time / model_flop_rate /
+    operational_intensity / bound_by) → per-step kernel table + rollup."""
+    ops = []
+    for r in rows:
+        name = r.get("hlo_op_name")
+        if not name:
+            continue
+        ops.append((
+            name,
+            r.get("category") or "?",
+            _num(r.get("occurrences")),
+            _num(r.get("total_self_time")),
+            _num(r.get("model_flop_rate")),
+            _num(r.get("operational_intensity")),
+            r.get("bound_by") or "",
+        ))
+    ops.sort(key=lambda t: -t[3])
+    device_total = sum(t[3] for t in ops)
+    per_step_busy = device_total / max(steps_traced, 1)
+
+    print(f"\n{'kernel':48s} {'category':20s} {'n/st':>5s} "
+          f"{'us/st':>8s} {'%':>6s} {'GFLOP/s':>9s} {'FLOP/B':>7s} bound")
+    for name, cat, occ, self_t, flops, oi, bound in ops[:top]:
+        print(f"{name[:48]:48s} {cat[:20]:20s} "
+              f"{occ / max(steps_traced, 1):5.1f} "
+              f"{self_t / max(steps_traced, 1):8.1f} "
+              f"{100 * self_t / max(device_total, 1e-9):6.2f} "
+              f"{flops:9.1f} {oi:7.1f} {bound}")
+
+    cats = {}
+    for _, cat, _, self_t, *_ in ops:
+        cats[cat] = cats.get(cat, 0.0) + self_t
+    print("\ncategory rollup (us/step):")
+    for cat, total in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:30s} {total / max(steps_traced, 1):9.1f} "
+              f"{100 * total / max(device_total, 1e-9):6.2f}%")
+
+    print(f"\ndevice-busy: {per_step_busy:.1f} us/step | wall: "
+          f"{wall_per_step_us:.1f} us/step | gap (dispatch/idle): "
+          f"{wall_per_step_us - per_step_busy:.1f} us/step")
+    return ops, per_step_busy
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--scan", type=int, default=0,
+                    help="profile the lax.scan K-step program instead")
+    ap.add_argument("--tool", default="hlo_stats")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--out", default=None,
+                    help="trace dir (default: temp, deleted unless --keep)")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env vars are too late on "
+                         "this image — jax is pre-imported by sitecustomize)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    logdir = args.out or tempfile.mkdtemp(prefix="jaxprof_")
+    try:
+        wall_per_step, calls = capture(args.steps, args.scan, logdir)
+        steps_traced = calls * max(args.scan, 1)
+        label = f"scan{args.scan}" if args.scan > 1 else "per-step"
+        print(f"[{label}] traced {steps_traced} steps "
+              f"({calls} dispatches), wall {wall_per_step * 1e6:.1f} us/step")
+        rows = tool_rows(logdir, args.tool)
+        if args.tool == "hlo_stats":
+            report_hlo_stats(rows, steps_traced, wall_per_step * 1e6,
+                             args.top)
+        else:
+            print(json.dumps(rows[:args.top], indent=2, default=str))
+    finally:
+        if not args.keep and args.out is None:
+            shutil.rmtree(logdir, ignore_errors=True)
+        elif args.keep:
+            print(f"trace kept at {logdir}")
+
+
+if __name__ == "__main__":
+    main()
