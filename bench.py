@@ -98,17 +98,35 @@ def probe_link():
     y.block_until_ready()
     out["dispatch_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
 
+    # D2H, staged + thread-timeout-guarded: a fully wedged path (observed:
+    # 16 KB not returning within 100 s) must cost the bench seconds, not
+    # hang it. A timed-out fetch reports 0 MB/s; its daemon thread drains
+    # whenever the link does.
+    import threading
+
+    def timed_fetch(arr, timeout_s):
+        box = {}
+
+        def work():
+            t0 = time.perf_counter()
+            np.asarray(arr)
+            box["dt"] = time.perf_counter() - t0
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        return box.get("dt")
+
     small = y[:4]  # 16 KB
     small.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(small)
-    dt_small = time.perf_counter() - t0
-    if dt_small > 2.0:  # ≤ 8 KB/s — don't wait minutes for the 1 MB probe
+    dt_small = timed_fetch(small, 5.0)
+    if dt_small is None:
+        out["d2h_mbps"] = 0.0  # wedged: did not return within 5 s
+    elif dt_small > 1.0:
         out["d2h_mbps"] = round(16e-3 / dt_small, 4)
     else:
-        t0 = time.perf_counter()
-        np.asarray(y)
-        out["d2h_mbps"] = round(1.0 / (time.perf_counter() - t0), 2)
+        dt = timed_fetch(y, 30.0)
+        out["d2h_mbps"] = round(1.0 / dt, 2) if dt else 0.0
 
     out["healthy"] = (out["dispatch_ms"] < _DISPATCH_HEALTHY_MS
                       and out["d2h_mbps"] > _D2H_HEALTHY_MBPS)
