@@ -39,9 +39,17 @@ def cross_entropy(
     the reduction — the FixMatch confidence filter composed into one op.
     """
     logp = _log_softmax(logits, axis=1)
-    labels_exp = jnp.expand_dims(labels, axis=1)
-    picked = jnp.take_along_axis(logp, labels_exp, axis=1)
-    loss = -jnp.squeeze(picked, axis=1)
+    # label pick as a one-hot contraction, NOT take_along_axis: XLA lowers
+    # the latter to a scalarized per-element gather that a TPU profile
+    # measured at ~1.6 GB/s / 473 us for a (16,4,2500) pick — ~25% of the
+    # whole FixMatch train step, per CE term. The dense compare+select
+    # reads logp C times but vectorizes and fuses into the log-softmax
+    # (C is small: 4 classes). Semantics match for valid labels; invalid
+    # (out-of-range) labels contribute 0 instead of a clamped pick.
+    classes = jnp.arange(logp.shape[1], dtype=labels.dtype)
+    classes = classes.reshape((1, -1) + (1,) * (labels.ndim - 1))
+    onehot = (jnp.expand_dims(labels, 1) == classes)
+    loss = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=1)
     if mask is not None:
         loss = loss * mask.astype(loss.dtype)
     if reduction == "mean":
