@@ -46,13 +46,44 @@ def _rows_from_gviz(data):
     return rows
 
 
-def capture(steps: int, scan_k: int, logdir: str):
-    """Run the benchmark program under the profiler; returns wall s/step."""
+def capture(steps: int, scan_k: int, logdir: str, augment: bool = False):
+    """Run the benchmark program under the profiler; returns wall s/step.
+
+    ``augment`` composes the flagship device-side augmentation chain
+    (random_resize_crop weak view + RandAugment strong view + standardize,
+    tools/gen_configs.py flagship_data_recipe) in front of the train step —
+    the cache-mode fused program, raw views in, update out."""
     import jax
 
     from bench import _build  # the exact benchmarked program
 
     compiled, state, run_batch, _, _ = _build(max(scan_k, 1))
+    if augment:
+        assert scan_k <= 1, "--augment profiles the per-step program"
+        from tools.gen_configs import flagship_data_recipe
+
+        from semi_seg_ecg_tpu.ops.preprocess import plan_device_augment
+
+        plan = plan_device_augment(flagship_data_recipe(2500))
+        assert plan.augment is not None, plan.summary
+        print(f"device_augment: {plan.summary}")
+        from semi_seg_ecg_tpu.algorithms.fixmatch import make_train_step
+        from semi_seg_ecg_tpu.models import build_model_from_config
+        from semi_seg_ecg_tpu.utils.optimizer import build_optimizer
+        from __graft_entry__ import _flagship_config
+
+        config = _flagship_config(signal_length=2500, batch_per_replica=16)
+        model = build_model_from_config(config, train=True)
+        tx = build_optimizer(config, None, steps_per_epoch=1000, model=model)
+        step = make_train_step(model, tx, config, 1000)
+        aug = plan.augment
+
+        def fused(s, b):
+            key = jax.random.fold_in(jax.random.key(0x5EED), s.step)
+            return step(s, aug(key, b))
+
+        compiled = jax.jit(fused, donate_argnums=0).lower(
+            state, run_batch).compile()
     calls = max(steps // max(scan_k, 1), 1)
 
     def leaf(s):
@@ -141,6 +172,9 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--scan", type=int, default=0,
                     help="profile the lax.scan K-step program instead")
+    ap.add_argument("--augment", action="store_true",
+                    help="profile the cache-mode fused program (device "
+                         "augmentation chain + train step)")
     ap.add_argument("--tool", default="hlo_stats")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--out", default=None,
@@ -158,9 +192,11 @@ def main():
 
     logdir = args.out or tempfile.mkdtemp(prefix="jaxprof_")
     try:
-        wall_per_step, calls = capture(args.steps, args.scan, logdir)
+        wall_per_step, calls = capture(args.steps, args.scan, logdir,
+                                       augment=args.augment)
         steps_traced = calls * max(args.scan, 1)
-        label = f"scan{args.scan}" if args.scan > 1 else "per-step"
+        label = (f"scan{args.scan}" if args.scan > 1
+                 else "augment+step" if args.augment else "per-step")
         print(f"[{label}] traced {steps_traced} steps "
               f"({calls} dispatches), wall {wall_per_step * 1e6:.1f} us/step")
         rows = tool_rows(logdir, args.tool)
