@@ -201,20 +201,21 @@ def _build(scan_k: int):
 
 
 def _measure(compiled, state, run_batch, calls: int, trials: int = 3):
-    """Best-of-``trials`` slope timing: run N then 2N sequential calls,
-    blocking on one param leaf each time; ``T(2N) − T(N)`` cancels the
-    blocking RTT and any fixed ramp-up, leaving N calls of steady-state
-    rate. Returns (seconds per N calls, final state)."""
-    import jax
-
-    def leaf(s):
-        return jax.tree.leaves(s.model.params)[0]
+    """Best-of-``trials`` slope timing with a VALUE-FETCH completion
+    barrier: run N then 2N sequential calls, then fetch the (few-byte)
+    loss scalar — a data dependency that cannot return before the work is
+    done, unlike ``block_until_ready`` which the remote tunnel has been
+    observed to release early (NOTES.md; it inflated round-2's 17.7k
+    number to ~2x reality). ``T(2N) − T(N)`` cancels the fetch latency
+    and any fixed ramp-up, leaving N calls of steady-state rate. Returns
+    (seconds per N calls, final state)."""
 
     def run(n, s):
         t0 = time.perf_counter()
+        m = None
         for _ in range(n):
-            s, _ = compiled(s, run_batch)
-        jax.block_until_ready(leaf(s))
+            s, m = compiled(s, run_batch)
+        float(np.asarray(m["loss"]).ravel()[-1])
         return time.perf_counter() - t0, s
 
     # warmup (also first real execution after AOT compile)
@@ -251,13 +252,15 @@ def main(steps: int = 100) -> None:
     if scan_env > 1:
         modes = [(scan_env, f"scan{scan_env}")]
     else:
-        # always measure BOTH dispatch modes and report the faster: the
-        # tiny-op dispatch probe under-predicts the real per-step gap of a
-        # congested tunnel (probed 0.18 ms while the train loop paid ~1 ms
-        # per dispatch), and the scan program amortises exactly that gap
-        # (NOTES.md: 2.3x better congested, ~2.4x worse healthy). One
-        # extra AOT compile is cheap insurance on the number of record.
-        modes = [(1, "per-step"), (8, "scan8")]
+        # always measure BOTH dispatch modes and report the faster. The
+        # remote tunnel charges ~1.3-3 ms per dispatched program (window-
+        # dependent) while the step itself is ~0.9 ms device-busy, so the
+        # per-step mode is dispatch-floor-bound through a tunnel; the
+        # K=32 scan amortises that floor to ~3% (and its body is device-
+        # busy-identical to the per-step program — profiled, NOTES.md
+        # round-3 findings). One extra AOT compile is cheap insurance on
+        # the number of record.
+        modes = [(1, "per-step"), (32, "scan32")]
 
     results = []
     for scan_k, name in modes:
