@@ -61,6 +61,10 @@ _PEAK_BF16_FLOPS = {
 _DISPATCH_HEALTHY_MS = 1.0
 _D2H_HEALTHY_MBPS = 1.0
 
+# completion-barrier scalar fetch gives up (and degrades to
+# block_until_ready slope timing) after this long — tests shrink it
+_FETCH_TIMEOUT_S = 120.0
+
 
 def _flops_per_call(compiled) -> float:
     """XLA-reported FLOPs for one compiled step (0.0 if unavailable)."""
@@ -207,15 +211,42 @@ def _measure(compiled, state, run_batch, calls: int, trials: int = 3):
     done, unlike ``block_until_ready`` which the remote tunnel has been
     observed to release early (NOTES.md; it inflated round-2's 17.7k
     number to ~2x reality). ``T(2N) − T(N)`` cancels the fetch latency
-    and any fixed ramp-up, leaving N calls of steady-state rate. Returns
-    (seconds per N calls, final state)."""
+    and any fixed ramp-up, leaving N calls of steady-state rate.
+
+    A fully wedged D2H path (observed: 16 KB not returning for minutes)
+    would hang even a scalar fetch, so the fetch runs under a thread
+    timeout; on timeout the barrier degrades to ``block_until_ready`` on
+    the fetched leaf for the rest of the run — its early release is a
+    *consistent* bias that the slope subtraction cancels, unlike the
+    one-shot window it corrupted in round 2. Returns
+    (seconds per N calls, final state, barrier_used)."""
+    import threading
+
+    barrier = {"mode": "value-fetch"}
+
+    def sync(m):
+        leaf = m["loss"]
+        if barrier["mode"] == "value-fetch":
+            done = threading.Event()
+
+            def work():
+                try:
+                    np.asarray(leaf)
+                finally:
+                    done.set()
+
+            threading.Thread(target=work, daemon=True).start()
+            if done.wait(timeout=_FETCH_TIMEOUT_S):
+                return
+            barrier["mode"] = "block_until_ready"  # wedged D2H: degrade
+        leaf.block_until_ready()
 
     def run(n, s):
         t0 = time.perf_counter()
         m = None
         for _ in range(n):
             s, m = compiled(s, run_batch)
-        float(np.asarray(m["loss"]).ravel()[-1])
+        sync(m)
         return time.perf_counter() - t0, s
 
     # warmup (also first real execution after AOT compile)
@@ -226,7 +257,7 @@ def _measure(compiled, state, run_batch, calls: int, trials: int = 3):
         t_n, state = run(calls, state)
         t_2n, state = run(2 * calls, state)
         best = min(best, t_2n - t_n)
-    return best, state
+    return best, state, barrier["mode"]
 
 
 def main(steps: int = 100) -> None:
@@ -241,12 +272,12 @@ def main(steps: int = 100) -> None:
     def throughput(scan_k):
         calls = max(steps // scan_k, 1)
         compiled, state, run_batch, flops_call, global_batch = _build(scan_k)
-        dt, _ = _measure(compiled, state, run_batch, calls)
+        dt, _, barrier = _measure(compiled, state, run_batch, calls)
         sps = calls * scan_k * global_batch / dt
         achieved = flops_call * calls / dt
         mfu = (round(achieved / peak, 4)
                if peak and flops_call else None)
-        return sps, mfu, flops_call / max(scan_k, 1)
+        return sps, mfu, flops_call / max(scan_k, 1), barrier
 
     scan_env = int(os.environ.get("BENCH_SCAN_STEPS", "0"))
     if scan_env > 1:
@@ -264,9 +295,10 @@ def main(steps: int = 100) -> None:
 
     results = []
     for scan_k, name in modes:
-        sps, mfu, flops_step = throughput(scan_k)
+        sps, mfu, flops_step, barrier = throughput(scan_k)
         results.append({"mode": name, "samples_per_sec": round(sps, 2),
-                        "mfu": mfu, "flops_per_step": flops_step})
+                        "mfu": mfu, "flops_per_step": flops_step,
+                        "barrier": barrier})
     best = max(results, key=lambda r: r["samples_per_sec"])
     per_chip = best["samples_per_sec"] / n_chips
 
@@ -278,6 +310,7 @@ def main(steps: int = 100) -> None:
         "mfu": best["mfu"],
         "flops_per_step": best["flops_per_step"],
         "mode": best["mode"],
+        "barrier": best["barrier"],
         "device_kind": kind,
         "link": link,
         "all_modes": results if len(results) > 1 else None,

@@ -1,0 +1,75 @@
+"""Unit tests for bench.py's slope-timing measurement core.
+
+The bench is the driver's number of record; these tests pin the two
+behaviors that keep it alive through a degraded remote-TPU link
+(NOTES.md "Environment pitfalls"):
+
+- the completion barrier is a value fetch of the loss scalar, and
+- a wedged D2H path (fetch never returns) degrades the barrier to
+  ``block_until_ready`` under a timeout instead of hanging the bench.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import bench
+
+
+class _Leaf:
+    """Stand-in for a device array: ``np.asarray`` may hang (wedged D2H),
+    ``block_until_ready`` always returns."""
+
+    def __init__(self, value, hang_event=None):
+        self.value = value
+        self.hang_event = hang_event
+        self.blocked = 0
+
+    def __array__(self, dtype=None, copy=None):
+        if self.hang_event is not None:
+            self.hang_event.wait()  # simulate a fetch that never returns
+        arr = np.asarray([self.value], dtype=dtype or np.float32)
+        return arr.copy() if copy else arr
+
+    def block_until_ready(self):
+        self.blocked += 1
+        return self
+
+
+def _fake_compiled(step_s=0.0, hang_event=None):
+    def compiled(state, batch):
+        if step_s:
+            time.sleep(step_s)
+        return state + 1, {"loss": _Leaf(float(state), hang_event)}
+
+    return compiled
+
+
+def test_measure_value_fetch_barrier():
+    dt, state, barrier = bench._measure(
+        _fake_compiled(step_s=0.001), 0, None, calls=5, trials=1)
+    assert barrier == "value-fetch"
+    assert state == 5 * (1 + 2) + 2  # warmup max(5//10,2) + N + 2N calls
+    assert 0.003 < dt < 1.0  # ~5 x 1 ms, slope-cancelled
+
+
+def test_measure_degrades_to_block_on_wedged_fetch(monkeypatch):
+    monkeypatch.setattr(bench, "_FETCH_TIMEOUT_S", 0.05)
+    release = threading.Event()
+    try:
+        dt, _, barrier = bench._measure(
+            _fake_compiled(step_s=0.0, hang_event=release), 0, None,
+            calls=3, trials=1)
+    finally:
+        release.set()  # drain the daemon fetch thread
+    assert barrier == "block_until_ready"
+    assert dt < 1.0  # did not hang on the wedged fetch
+
+
+@pytest.mark.parametrize("trials", [1, 2])
+def test_measure_slope_is_positive(trials):
+    dt, _, _ = bench._measure(
+        _fake_compiled(step_s=0.002), 0, None, calls=3, trials=trials)
+    assert dt > 0

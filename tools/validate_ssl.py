@@ -5,7 +5,11 @@ Trains each requested algorithm on a low-label synthetic split (8 labeled /
 semi-supervised objective improves over supervised-only (results recorded
 in BASELINE.md / NOTES.md).
 
-Run: ``python tools/validate_ssl.py [--algorithms base fixmatch ...]``
+Run: ``python tools/validate_ssl.py [--algorithms base fixmatch ...]``.
+``--seeds 0 1 2`` repeats every algorithm across training seeds and reports
+mean +/- std (the multi-seed evidence VERDICT r2 asked the quality story to
+rest on); ``--cpu N`` forces an N-device CPU mesh so the study is
+independent of the remote-TPU tunnel's health.
 """
 
 import argparse
@@ -17,12 +21,12 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def cfg(algo, exp, root, data, epochs):
+def cfg(algo, exp, root, data, epochs, seed=0):
     from semi_seg_ecg_tpu.config import normalize_config
     from tools.gen_configs import flagship_data_recipe
 
     d = {
-        "seed": 0, "output_dir": os.path.join(root, "exps"), "exp_name": exp,
+        "seed": seed, "output_dir": os.path.join(root, "exps"), "exp_name": exp,
         "resume": None, "start_epoch": 0, "device": None, "use_amp": True,
         "algorithm": algo, "mode": "scratch", "pretrained_backbone": None,
         "backbone": {"resnet18": {"num_leads": 1, "num_stages": 4,
@@ -61,7 +65,16 @@ def main():
                     default=["base", "fixmatch", "mean_teacher", "cps",
                              "reco", "stpp"])
     ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0],
+                    help="training seeds; >1 reports mean +/- std")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force an N-device CPU mesh (tunnel-independent)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+        jax.config.update("jax_platforms", "cpu")
 
     from semi_seg_ecg_tpu.algorithms import get_algorithm
     from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
@@ -71,13 +84,23 @@ def main():
         root, num_train_labeled=8, num_train_unlabeled=96,
         num_valid=16, num_test=32, length=2500, seed=11,
     )
-    results = {}
+    per_seed = {}
     for algo in args.algorithms:
-        c = cfg(algo, f"ssl_{algo}", root, data, args.epochs)
-        get_algorithm(algo).train(c)
-        m = get_algorithm(algo).test(c)
-        results[algo] = m["MeanIoU"]
-        print("RESULT", algo, m)
+        per_seed[algo] = []
+        for seed in args.seeds:
+            c = cfg(algo, f"ssl_{algo}_s{seed}", root, data, args.epochs,
+                    seed=seed)
+            get_algorithm(algo).train(c)
+            m = get_algorithm(algo).test(c)
+            per_seed[algo].append(m["MeanIoU"])
+            print("RESULT", algo, "seed", seed, m, flush=True)
+    import numpy as np
+    results = {
+        algo: {"mean": round(float(np.mean(v)), 4),
+               "std": round(float(np.std(v)), 4),
+               "seeds": v}
+        for algo, v in per_seed.items()
+    }
     print(json.dumps(results))
 
 
