@@ -100,6 +100,14 @@ def main():
     from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
     from semi_seg_ecg_tpu.utils.logging import set_logging_enabled
 
+    # link-health preamble: the recorded table is only quotable alongside
+    # the state of the remote-device link it was measured through
+    # (VERDICT r2 #8; NOTES.md "Environment pitfalls")
+    from bench import probe_link
+
+    link = probe_link()
+    print(json.dumps({"link": link}), flush=True)
+
     root = tempfile.mkdtemp(prefix="bench_e2e_")
     data_cfg = make_synthetic_dataset(
         os.path.join(root, "data"), num_train_labeled=64,
@@ -129,7 +137,7 @@ def main():
         print(json.dumps({"mode": mode, "samples_per_sec": round(sps, 1),
                           "sec_per_epoch": round(steady, 2)}), flush=True)
     print(json.dumps({"metric": "fixmatch_e2e_samples_per_sec",
-                      "results": results}))
+                      "results": results, "link": link}))
     shutil.rmtree(root, ignore_errors=True)
 
 
