@@ -67,14 +67,22 @@ def build_model_from_config(config: Dict[str, Any], train: bool = True
     """
     dtype = compute_dtype(config)
 
+    # int8 serving (ops/quant.py): only inference graphs quantize — the
+    # training model (and its in-loop evaluation) stays float
+    quantize = None if train else config.get("quantize", None)
+    assert quantize in (None, "int8"), f"Unsupported quantize: {quantize}"
+    extra = {"quantize": quantize} if quantize else {}
+
     backbone_name, backbone_kwargs = list(config["backbone"].items())[0]
     assert backbone_name in BACKBONES, f"Unsupported model name: {backbone_name}"
-    backbone = BACKBONES[backbone_name](**(backbone_kwargs or {}), dtype=dtype)
+    backbone = BACKBONES[backbone_name](**(backbone_kwargs or {}), dtype=dtype,
+                                        **extra)
 
     decoder_name, decoder_kwargs = list(config["decode_head"].items())[0]
     assert decoder_name in DECODE_HEADS, \
         f"Unsupported decode head name: {decoder_name}"
-    decode_head = DECODE_HEADS[decoder_name](**(decoder_kwargs or {}), dtype=dtype)
+    decode_head = DECODE_HEADS[decoder_name](**(decoder_kwargs or {}),
+                                             dtype=dtype, **extra)
 
     auxiliary_heads = None
     if config.get("auxiliary_heads", None) and train:

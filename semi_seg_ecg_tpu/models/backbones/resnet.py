@@ -34,7 +34,11 @@ KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class ConvBN(nn.Module):
-    """Conv1d (no bias) + BatchNorm, the fusion unit XLA folds together."""
+    """Conv1d (no bias) + BatchNorm, the fusion unit XLA folds together.
+
+    ``quantize='int8'`` (inference only) runs the conv contraction in
+    s8 x s8 -> s32 on the MXU with dynamic activation scales — same param
+    tree, ~2x MXU rate (ops/quant.py)."""
 
     features: int
     kernel_size: int = 3
@@ -42,21 +46,41 @@ class ConvBN(nn.Module):
     dilation: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     scale_init: nn.initializers.Initializer = nn.initializers.ones
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad = (self.kernel_size // 2) * self.dilation
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size,),
-            strides=(self.stride,),
-            padding=[(pad, pad)],
-            kernel_dilation=(self.dilation,),
-            use_bias=False,
-            kernel_init=KAIMING,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.quantize:
+            assert self.quantize == "int8", self.quantize
+            assert not train, "int8 quantization is inference-only"
+            from ..quant_layers import Int8Conv
+
+            conv = Int8Conv(
+                self.features,
+                (self.kernel_size,),
+                strides=(self.stride,),
+                padding=[(pad, pad)],
+                kernel_dilation=(self.dilation,),
+                use_bias=False,
+                kernel_init=KAIMING,
+                dtype=self.dtype,
+                name="Conv_0",  # == nn.Conv's auto-name: same param tree
+            )
+        else:
+            conv = nn.Conv(
+                self.features,
+                (self.kernel_size,),
+                strides=(self.stride,),
+                padding=[(pad, pad)],
+                kernel_dilation=(self.dilation,),
+                use_bias=False,
+                kernel_init=KAIMING,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="Conv_0",
+            )
+        x = conv(x)
         # name pinned so checkpoints keep the BatchNorm_0 leaf path
         x = TorchBatchNorm(
             use_running_average=not train,
@@ -78,6 +102,7 @@ class Downsample(nn.Module):
     stride: int
     avg_down: bool
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -90,7 +115,7 @@ class Downsample(nn.Module):
             )
             stride = 1
         return ConvBN(self.features, kernel_size=1, stride=stride,
-                      dtype=self.dtype)(x, train)
+                      dtype=self.dtype, quantize=self.quantize)(x, train)
 
 
 class BasicBlock(nn.Module):
@@ -101,23 +126,26 @@ class BasicBlock(nn.Module):
     avg_down: bool = False
     zero_init_residual: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = ConvBN(self.planes, 3, self.stride, self.dilation,
-                     dtype=self.dtype)(x, train)
+                     dtype=self.dtype, quantize=self.quantize)(x, train)
         out = nn.relu(out)
         last_scale = (
             nn.initializers.zeros if self.zero_init_residual
             else nn.initializers.ones
         )
         out = ConvBN(self.planes, 3, dtype=self.dtype,
-                     scale_init=last_scale)(out, train)
+                     scale_init=last_scale,
+                     quantize=self.quantize)(out, train)
         if self.has_downsample:
             identity = Downsample(self.planes, self.stride, self.avg_down,
-                                  dtype=self.dtype)(x, train)
+                                  dtype=self.dtype,
+                                  quantize=self.quantize)(x, train)
         return nn.relu(out + identity)
 
 
@@ -129,26 +157,29 @@ class Bottleneck(nn.Module):
     avg_down: bool = False
     zero_init_residual: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = nn.relu(ConvBN(self.planes, 1, dtype=self.dtype)(x, train))
+        out = nn.relu(ConvBN(self.planes, 1, dtype=self.dtype,
+                             quantize=self.quantize)(x, train))
         out = nn.relu(
             ConvBN(self.planes, 3, self.stride, self.dilation,
-                   dtype=self.dtype)(out, train)
+                   dtype=self.dtype, quantize=self.quantize)(out, train)
         )
         last_scale = (
             nn.initializers.zeros if self.zero_init_residual
             else nn.initializers.ones
         )
         out = ConvBN(self.planes * self.expansion, 1, dtype=self.dtype,
-                     scale_init=last_scale)(out, train)
+                     scale_init=last_scale,
+                     quantize=self.quantize)(out, train)
         if self.has_downsample:
             identity = Downsample(
                 self.planes * self.expansion, self.stride, self.avg_down,
-                dtype=self.dtype,
+                dtype=self.dtype, quantize=self.quantize,
             )(x, train)
         return nn.relu(out + identity)
 
@@ -177,6 +208,7 @@ class ResNet1D(nn.Module):
     # and gradients are identical either way.
     remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
 
     @property
     def block_cls(self):
@@ -213,11 +245,13 @@ class ResNet1D(nn.Module):
             ):
                 x = nn.relu(
                     ConvBN(feats, 3, stride, dtype=self.dtype,
+                           quantize=self.quantize,
                            name=f"stem_{i}")(x, stem_train)
                 )
         else:
             x = nn.relu(
                 ConvBN(self.stem_channels, 7, 2, dtype=self.dtype,
+                       quantize=self.quantize,
                        name="stem_0")(x, stem_train)
             )
         x = nn.max_pool(x, (3,), strides=(2,), padding=[(1, 1)])
@@ -256,6 +290,7 @@ class ResNet1D(nn.Module):
                 avg_down=self.avg_down,
                 zero_init_residual=self.zero_init_residual,
                 dtype=self.dtype,
+                quantize=self.quantize,
                 name=f"layer{i + 1}_block0",
             )(x, stage_train)
             for j in range(1, num_blocks):
@@ -267,6 +302,7 @@ class ResNet1D(nn.Module):
                     ),
                     zero_init_residual=self.zero_init_residual,
                     dtype=self.dtype,
+                    quantize=self.quantize,
                     name=f"layer{i + 1}_block{j}",
                 )(x, stage_train)
             inplanes = planes * expansion

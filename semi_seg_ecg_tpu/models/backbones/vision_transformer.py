@@ -47,6 +47,19 @@ class DropPath(nn.Module):
         return x * mask
 
 
+def _dense(quantize, features, dtype, name, use_bias=True):
+    """nn.Dense, or its int8-contraction stand-in when ``quantize='int8'``
+    (inference/serving; models/quant_layers.py). Names are pinned to
+    nn.Dense's auto-names so the param tree is identical either way."""
+    if quantize:
+        assert quantize == "int8", quantize
+        from ..quant_layers import Int8Dense
+
+        return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)
+
+
 class FeedForward(nn.Module):
     """LN → Linear → GELU → dropout → Linear → dropout
     (vision_transformer.py:49-70 with the PreNorm wrapper folded in)."""
@@ -55,16 +68,15 @@ class FeedForward(nn.Module):
     output_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32)(x)
+        x = _dense(self.quantize, self.hidden_dim, self.dtype, "Dense_0")(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.output_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32)(x)
+        x = _dense(self.quantize, self.output_dim, self.dtype, "Dense_1")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 
@@ -82,6 +94,7 @@ class Attention(nn.Module):
     attn_dropout: float = 0.0
     attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
 
     def _use_flash(self, n: int, train: bool) -> bool:
         """'auto': Pallas blockwise kernel only where it pays — long
@@ -107,8 +120,8 @@ class Attention(nn.Module):
         project_out = not (self.heads == 1 and self.dim_head == input_dim)
 
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
-        qkv = nn.Dense(inner_dim * 3, use_bias=self.qkv_bias,
-                       dtype=self.dtype, param_dtype=jnp.float32)(x)
+        qkv = _dense(self.quantize, inner_dim * 3, self.dtype, "Dense_0",
+                     use_bias=self.qkv_bias)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -150,8 +163,8 @@ class Attention(nn.Module):
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         if project_out:
-            out = nn.Dense(self.output_dim, dtype=self.dtype,
-                           param_dtype=jnp.float32)(out)
+            out = _dense(self.quantize, self.output_dim, self.dtype,
+                         "Dense_1")(out)
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out
 
@@ -170,6 +183,7 @@ class TransformerBlock(nn.Module):
     drop_path: float = 0.0
     layer_scale: Optional[float] = None
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -195,6 +209,7 @@ class TransformerBlock(nn.Module):
             attn_dropout=self.attn_dropout,
             attention_impl=self.attention_impl,
             dtype=self.dtype,
+            quantize=self.quantize,
         )(x, train)
         x = DropPath(self.drop_path)(scaled(attn_out, "ls_1"), train) + x
         ff_out = FeedForward(
@@ -202,6 +217,7 @@ class TransformerBlock(nn.Module):
             output_dim=self.output_dim,
             dropout=self.dropout,
             dtype=self.dtype,
+            quantize=self.quantize,
         )(x, train)
         x = DropPath(self.drop_path)(scaled(ff_out, "ls_2"), train) + x
         return x
@@ -238,6 +254,7 @@ class VisionTransformer1D(nn.Module):
     # identical either way.
     remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
 
     @property
     def num_patches(self) -> int:
@@ -261,7 +278,7 @@ class VisionTransformer1D(nn.Module):
         # reference's '(p c)' element order (vision_transformer.py:235)
         x = x.reshape(b, n, self.patch_size * c)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = _dense(self.quantize, self.width, self.dtype, "Dense_0")(x)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
 
         pos = self.param(
@@ -309,6 +326,7 @@ class VisionTransformer1D(nn.Module):
                 drop_path=dpr[i],
                 layer_scale=self.layer_scale,
                 dtype=self.dtype,
+                quantize=self.quantize,
                 name=f"block{i}",
             )(x, block_train)
             if i == self.depth - 1 and self.final_norm:

@@ -9,6 +9,8 @@ the EncoderDecoder's logit interpolation (encoder_decoder.py:101-107).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -27,6 +29,7 @@ class FCNHead(nn.Module):
     dropout_ratio: float = 0.1
     align_corners: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs, train: bool = False) -> jnp.ndarray:
@@ -42,6 +45,7 @@ class FCNHead(nn.Module):
                     kernel_size=self.kernel_size,
                     dilation=self.dilation,
                     dtype=self.dtype,
+                    quantize=self.quantize,
                     name=f"conv{i}",
                 )(out, train)
             )
@@ -51,11 +55,15 @@ class FCNHead(nn.Module):
                     self.channels,
                     kernel_size=self.kernel_size,
                     dtype=self.dtype,
+                    quantize=self.quantize,
                     name="conv_cat",
                 )(jnp.concatenate([x, out], axis=-1), train)
             )
         if self.dropout_ratio > 0:
             out = nn.Dropout(self.dropout_ratio, deterministic=not train)(out)
+        # the classifier stays float: it is tiny (C_out = num_classes) and
+        # its logits feed an argmax/softmax where quantization error is
+        # the one place it would show
         out = nn.Conv(
             self.num_classes, (1,), dtype=self.dtype, param_dtype=jnp.float32,
             name="cls_seg",

@@ -1,0 +1,72 @@
+"""flax modules running their contraction in int8 (serving path).
+
+Drop-in stand-ins for ``nn.Conv`` / ``nn.Dense`` with byte-identical param
+trees (same param names, shapes, fp32 dtype), so a checkpoint trained with
+the float modules restores into the quantized model unchanged — quantized
+serving is a config flip (``quantize: int8``), not a conversion step.
+See :mod:`semi_seg_ecg_tpu.ops.quant` for the numerics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.quant import int8_conv, int8_dense
+
+
+class Int8Conv(nn.Module):
+    """1-D conv with the contraction in s8 x s8 -> s32 (NWC/WIO layout).
+
+    Mirrors the ``nn.Conv`` hyperparameters the model zoo uses; the fp32
+    ``kernel`` (and optional ``bias``) params match ``nn.Conv``'s exactly.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1,)
+    padding: Union[str, Sequence] = "SAME"
+    kernel_dilation: Sequence[int] = (1,)
+    use_bias: bool = False
+    kernel_init: nn.initializers.Initializer = \
+        nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(self.kernel_size) + (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32)
+                if self.use_bias else None)
+        return int8_conv(
+            x, kernel, self.strides, self.padding, self.kernel_dilation,
+            bias=bias, out_dtype=self.dtype,
+        )
+
+
+class Int8Dense(nn.Module):
+    """Dense layer with the matmul in s8 x s8 -> s32 (param tree matches
+    ``nn.Dense``)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = \
+        nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32)
+                if self.use_bias else None)
+        return int8_dense(x, kernel, bias=bias, out_dtype=self.dtype)

@@ -2,8 +2,14 @@
 
 Times the jitted eval-mode forward + softmax of the flagship segmentor
 (ResNet18-1D + FCN head, length 2500) across batch sizes on the available
-device. Run: ``python tools/bench_inference.py``.
+device. Run: ``python tools/bench_inference.py [--int8]``.
+
+``--int8`` serves the dynamically quantized model (``quantize: int8``,
+ops/quant.py): s8 x s8 -> s32 convs run the MXU at twice the bf16 rate,
+so MXU-bound large-batch serving approaches 2x.
 """
+
+import argparse
 
 import os
 import sys
@@ -15,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the dynamically int8-quantized model")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -23,6 +34,8 @@ def main():
     from semi_seg_ecg_tpu.models import build_model_from_config
 
     config = _flagship_config()
+    if args.int8:
+        config["quantize"] = "int8"
     model = build_model_from_config(config, train=False)
     state = init_model_state(model, config, 0)
 
