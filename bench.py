@@ -126,21 +126,35 @@ def probe_link():
     dt_small = timed_fetch(small, 5.0)
     if dt_small is None:
         out["d2h_mbps"] = 0.0  # wedged: did not return within 5 s
-    elif dt_small > 1.0:
-        out["d2h_mbps"] = round(16e-3 / dt_small, 4)
     else:
-        dt = timed_fetch(y, 30.0)
-        out["d2h_mbps"] = round(1.0 / dt, 2) if dt else 0.0
+        mbps_small = 16e-3 / max(dt_small, 1e-6)
+        if mbps_small < _D2H_HEALTHY_MBPS:
+            # already degraded: report the small-probe estimate rather than
+            # launching a 1 MB fetch that would time out AND keep dragging
+            # through the link during the measurement that follows
+            out["d2h_mbps"] = round(mbps_small, 4)
+        else:
+            dt = timed_fetch(y, 30.0)
+            # a timed-out large fetch means the link collapsed mid-probe:
+            # it is alive (the 16 KB returned) but not at mbps_small —
+            # report the small-probe estimate, not a fake 0.0
+            out["d2h_mbps"] = (round(1.0 / dt, 2) if dt
+                               else round(mbps_small, 4))
 
     out["healthy"] = (out["dispatch_ms"] < _DISPATCH_HEALTHY_MS
                       and out["d2h_mbps"] > _D2H_HEALTHY_MBPS)
     return out
 
 
-def _build(scan_k: int):
+def _build(scan_k: int, aot: bool = True):
     """Compile the benchmark program: the per-step FixMatch train step
     (scan_k=1) or a K-step ``lax.scan`` over it. Returns
-    ``(compiled, state, run_batch, flops_per_call, global_batch)``."""
+    ``(compiled, state, run_batch, flops_per_call, global_batch)``.
+
+    ``aot=False`` skips the AOT compile and returns the jitted-but-
+    uncompiled step (flops 0.0) — for callers that only need the built
+    state/batch to assemble a different program (tools/profile_step.py
+    --augment), where the compile would be pure wasted wall-clock."""
     import jax
 
     from __graft_entry__ import _flagship_config
@@ -196,6 +210,8 @@ def _build(scan_k: int):
         train_step = jax.jit(inner, donate_argnums=0)
         run_batch = batch
 
+    if not aot:
+        return train_step, state, run_batch, 0.0, global_batch
     # one AOT compile serves both the timing loop and the FLOPs estimate
     # (jit dispatch would compile the same program a second time).
     # cost_analysis counts a lax.scan BODY once → scale by trip count.
@@ -205,7 +221,7 @@ def _build(scan_k: int):
 
 
 def _measure(compiled, state, run_batch, calls: int, trials: int = 3):
-    """Best-of-``trials`` slope timing with a VALUE-FETCH completion
+    """Median-of-``trials`` slope timing with a VALUE-FETCH completion
     barrier: run N then 2N sequential calls, then fetch the (few-byte)
     loss scalar — a data dependency that cannot return before the work is
     done, unlike ``block_until_ready`` which the remote tunnel has been
@@ -252,12 +268,38 @@ def _measure(compiled, state, run_batch, calls: int, trials: int = 3):
     # warmup (also first real execution after AOT compile)
     _, state = run(max(calls // 10, 2), state)
 
-    best = float("inf")
-    for _ in range(trials):
+    # Trial validity (this is the number of record — guard it):
+    # - a trial whose barrier DEGRADED mid-trial mixes two timing regimes
+    #   (e.g. value-fetch hits the 120 s timeout on the N run, then
+    #   block_until_ready returns fast on the 2N run → a negative diff);
+    #   it is discarded and re-run under the now-stable barrier;
+    # - non-positive diffs are never admitted;
+    # - the estimator is the MEDIAN of valid diffs, not the min: with slope
+    #   timing, link noise during the N run *inflates* throughput while
+    #   noise during the 2N run deflates it, so min() would preferentially
+    #   select the most inflated trial.
+    diffs = []
+    attempts = 0
+    t_2n = None
+    while len(diffs) < trials and attempts < trials + 2:
+        attempts += 1
+        mode_before = barrier["mode"]
         t_n, state = run(calls, state)
         t_2n, state = run(2 * calls, state)
-        best = min(best, t_2n - t_n)
-    return best, state, barrier["mode"]
+        if barrier["mode"] != mode_before:
+            continue
+        d = t_2n - t_n
+        if d > 0:
+            diffs.append(d)
+    if diffs:
+        diffs.sort()
+        dt = diffs[len(diffs) // 2]
+    else:
+        # every trial corrupted: fall back to the absolute 2N window —
+        # it UNDER-estimates throughput (the fetch latency stays in the
+        # numerator) but cannot go negative or inflate
+        dt = t_2n / 2
+    return dt, state, barrier["mode"]
 
 
 def main(steps: int = 100) -> None:
@@ -277,10 +319,15 @@ def main(steps: int = 100) -> None:
         achieved = flops_call * calls / dt
         mfu = (round(achieved / peak, 4)
                if peak and flops_call else None)
-        return sps, mfu, flops_call / max(scan_k, 1), barrier
+        # None (not 0.0) when XLA's cost model is unavailable, so consumers
+        # can tell "unknown" from a measured value
+        flops_step = flops_call / scan_k if flops_call else None
+        return sps, mfu, flops_step, barrier
 
     scan_env = int(os.environ.get("BENCH_SCAN_STEPS", "0"))
-    if scan_env > 1:
+    if scan_env == 1:
+        modes = [(1, "per-step")]  # documented pin: per-step only
+    elif scan_env > 1:
         modes = [(scan_env, f"scan{scan_env}")]
     else:
         # always measure BOTH dispatch modes and report the faster. The

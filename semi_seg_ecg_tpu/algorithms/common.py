@@ -819,7 +819,7 @@ def _train_one_epoch(train_step, state, loaders, spec, mesh, epoch,
 def load_eval_model(config):
     """Build an eval-mode model and restore the requested checkpoint
     (base.py:455-469: best-{target_metric} by default, aux heads dropped)."""
-    model = build_model_from_config(config, train=False)
+    model = build_model_from_config(config, train=False, serving=True)
     model_state = init_model_state(model, config, config.get("seed", 0))
     if test_cfg(config).get("model_path", None):
         checkpoint_path = config["test"]["model_path"]

@@ -55,8 +55,8 @@ def compute_dtype(config: Dict[str, Any]):
     return _DTYPES[config.get("precision", "bf16")]
 
 
-def build_model_from_config(config: Dict[str, Any], train: bool = True
-                            ) -> EncoderDecoder:
+def build_model_from_config(config: Dict[str, Any], train: bool = True,
+                            serving: bool = False) -> EncoderDecoder:
     """``init_model_from_cfg`` parity (base.py:32-80).
 
     Auxiliary heads are only attached for training graphs (``train=True``),
@@ -64,12 +64,17 @@ def build_model_from_config(config: Dict[str, Any], train: bool = True
     (encoder_decoder.py:113-134: never-filled logits list, double loss
     append) are deliberately NOT replicated — aux heads here produce one
     logits+loss pair each.
+
+    ``serving=True`` marks the build as a test/inference entry — the only
+    graphs that honor ``quantize: int8``. Eval-mode builds *inside* the
+    training pipeline (in-loop evaluation, ST++'s snapshot reliability
+    ranking) never quantize, so a quantize key in a training config cannot
+    silently shift pseudo-label selection.
     """
     dtype = compute_dtype(config)
 
-    # int8 serving (ops/quant.py): only inference graphs quantize — the
-    # training model (and its in-loop evaluation) stays float
-    quantize = None if train else config.get("quantize", None)
+    # int8 serving (ops/quant.py): only explicit serving graphs quantize
+    quantize = config.get("quantize", None) if serving and not train else None
     assert quantize in (None, "int8"), f"Unsupported quantize: {quantize}"
     extra = {"quantize": quantize} if quantize else {}
 

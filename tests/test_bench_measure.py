@@ -73,3 +73,48 @@ def test_measure_slope_is_positive(trials):
     dt, _, _ = bench._measure(
         _fake_compiled(step_s=0.002), 0, None, calls=3, trials=trials)
     assert dt > 0
+
+
+class _LateWedgeLeaf(_Leaf):
+    """Fetches succeed until the shared counter reaches ``wedge_at``, then
+    hang — models a D2H path that collapses mid-measurement."""
+
+    def __init__(self, value, counter, wedge_at, hang_event):
+        super().__init__(value)
+        self.counter = counter
+        self.wedge_at = wedge_at
+        self.late_hang = hang_event
+
+    def __array__(self, dtype=None, copy=None):
+        self.counter["n"] += 1
+        if self.counter["n"] >= self.wedge_at:
+            self.late_hang.wait()
+        return super().__array__(dtype, copy)
+
+
+def test_mid_trial_degrade_cannot_go_negative(monkeypatch):
+    """A barrier that degrades BETWEEN the N and 2N runs of a trial mixes a
+    120 s-timeout t_n with a fast t_2n — a hugely negative diff. That trial
+    must be discarded (re-run under the stable barrier), never admitted as
+    the headline dt (which would print a negative samples/sec of record)."""
+    monkeypatch.setattr(bench, "_FETCH_TIMEOUT_S", 0.2)
+    counter = {"n": 0}
+    release = threading.Event()
+
+    def compiled(state, batch):
+        time.sleep(0.001)
+        # sync #1 = warmup, #2 = trial-1 t_n (wedges: +0.2 s timeout,
+        # degrades the barrier), later syncs use block_until_ready
+        return state + 1, {
+            "loss": _LateWedgeLeaf(float(state), counter, 2, release)}
+
+    try:
+        dt, _, barrier = bench._measure(compiled, 0, None, calls=5,
+                                        trials=1)
+    finally:
+        release.set()
+    assert barrier == "block_until_ready"
+    assert dt > 0
+    # the corrupted trial's diff would have been ~ -(0.2 - 5ms) < 0; the
+    # re-run clean trial is ~5 x 1 ms
+    assert dt < 0.15

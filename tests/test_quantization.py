@@ -65,7 +65,8 @@ def test_quantized_param_tree_identical(cfg):
     """A float checkpoint must restore into the int8 model unchanged."""
     x = jnp.zeros((1, 1, 2500))  # NCW external contract
     fp = build_model_from_config(dict(cfg), train=False)
-    q = build_model_from_config({**cfg, "quantize": "int8"}, train=False)
+    q = build_model_from_config({**cfg, "quantize": "int8"}, train=False,
+                                serving=True)
     v_fp = fp.init({"params": jax.random.key(0)}, x, train=False)
     v_q = q.init({"params": jax.random.key(0)}, x, train=False)
     flat_fp = jax.tree_util.tree_leaves_with_path(v_fp["params"])
@@ -84,7 +85,8 @@ def test_quantized_model_argmax_agreement(cfg):
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 1, 2500)), jnp.float32)  # NCW
     fp = build_model_from_config(dict(cfg), train=False)
-    q = build_model_from_config({**cfg, "quantize": "int8"}, train=False)
+    q = build_model_from_config({**cfg, "quantize": "int8"}, train=False,
+                                serving=True)
     out_fp, variables = _init_and_apply(fp, x)
     out_q = q.apply(variables, x, train=False)
     logits_fp = np.asarray(out_fp["seg_logits"], np.float32)
@@ -111,7 +113,16 @@ def test_training_build_ignores_quantize():
     assert model.backbone.quantize is None
 
 
+def test_nonserving_eval_build_ignores_quantize():
+    """Eval-mode builds inside the training pipeline (in-loop evaluation,
+    ST++ snapshot reliability ranking) must stay float even when the config
+    carries a quantize key — only serving=True entries quantize."""
+    model = build_model_from_config({**RESNET_CFG, "quantize": "int8"},
+                                    train=False)
+    assert model.backbone.quantize is None
+
+
 def test_unknown_quantize_rejected():
     with pytest.raises(AssertionError):
         build_model_from_config({**RESNET_CFG, "quantize": "int4"},
-                                train=False)
+                                train=False, serving=True)

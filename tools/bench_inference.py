@@ -36,7 +36,7 @@ def main():
     config = _flagship_config()
     if args.int8:
         config["quantize"] = "int8"
-    model = build_model_from_config(config, train=False)
+    model = build_model_from_config(config, train=False, serving=True)
     state = init_model_state(model, config, 0)
 
     @jax.jit
@@ -49,15 +49,25 @@ def main():
     for batch in (16, 64, 256):
         x = jnp.asarray(rng.standard_normal((batch, 1, 2500)), jnp.float32)
         jax.block_until_ready(infer(state.params, state.batch_stats, x))
-        best = float("inf")
-        for _ in range(3):
+
+        # slope timing with a value-fetch barrier (same discipline as
+        # bench.py): the remote tunnel releases block_until_ready early
+        # and charges a fixed RTT per fetch — T(2N)-T(N) cancels both.
+        # Programs execute in launch order on the device stream, so a
+        # scalar fetch from the LAST output proves all N are done.
+        def run(n):
             t0 = time.perf_counter()
-            for _ in range(50):
+            for _ in range(n):
                 out = infer(state.params, state.batch_stats, x)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        sps = 50 * batch / best
-        print(f"batch {batch:4d}: {best / 50 * 1000:7.2f} ms/batch "
+            float(out[0, 0, 0])  # value fetch: cannot return early
+            return time.perf_counter() - t0
+
+        n = 50
+        diffs = sorted(d for d in (run(2 * n) - run(n) for _ in range(3))
+                       if d > 0)
+        best = diffs[len(diffs) // 2] if diffs else run(n)
+        sps = n * batch / best
+        print(f"batch {batch:4d}: {best / n * 1000:7.2f} ms/batch "
               f"{sps:10.0f} samples/sec")
 
 

@@ -57,7 +57,8 @@ def capture(steps: int, scan_k: int, logdir: str, augment: bool = False):
 
     from bench import _build  # the exact benchmarked program
 
-    compiled, state, run_batch, _, _ = _build(max(scan_k, 1))
+    compiled, state, run_batch, _, _ = _build(max(scan_k, 1),
+                                              aot=not augment)
     if augment:
         assert scan_k <= 1, "--augment profiles the per-step program"
         from tools.gen_configs import flagship_data_recipe
