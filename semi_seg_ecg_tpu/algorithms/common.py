@@ -237,6 +237,13 @@ def loader_workers(dataloader_cfg: Dict[str, Any]) -> int:
     return 4 if n is None else int(n)
 
 
+def loader_worker_type(dataloader_cfg: Dict[str, Any]) -> str:
+    """``worker_type``: ``thread`` (default) or ``process`` — forked worker
+    processes, the reference torch DataLoader's own mechanism, for
+    multi-core hosts where the pipeline's Python fraction is GIL-bound."""
+    return dataloader_cfg.get("worker_type", None) or "thread"
+
+
 def _host_shard_args(num_shards: int) -> Dict[str, int]:
     """Each process materialises only its own slice of the data-parallel
     shards (multi-host input sharding; single-process: the full range)."""
@@ -271,6 +278,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     shard_args = _host_shard_args(num_shards)
     batch_size = config["dataloader"]["batch_size"]
     num_workers = loader_workers(config["dataloader"])
+    worker_type = loader_worker_type(config["dataloader"])
     drop_last = config["dataloader"].get("drop_last", None)
 
     loaders: Dict[str, Any] = {}
@@ -287,7 +295,7 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
         loaders["unlabeled"] = get_dataloader(
             ds_unlab, mode="train", batch_size=batch_size, seed=seed,
             num_shards=num_shards, num_workers=num_workers, rng_salt=1,
-            drop_last=drop_last, **shard_args,
+            drop_last=drop_last, worker_type=worker_type, **shard_args,
         )
         log(f"Unlabeled: {num_unlabeled} samples / "
             f"{len(loaders['unlabeled'])} batches")
@@ -296,14 +304,14 @@ def build_train_loaders(config, mesh, spec: AlgorithmSpec,
     loaders["labeled"] = get_dataloader(
         ds_lab, mode="train", batch_size=batch_size, seed=seed,
         num_shards=num_shards, num_workers=num_workers, rng_salt=0,
-        drop_last=drop_last, **shard_args,
+        drop_last=drop_last, worker_type=worker_type, **shard_args,
     )
     log(f"Labeled: {len(ds_lab)} samples / {len(loaders['labeled'])} batches")
     ds_valid = build_seg_dataset(eval_cfg, split="valid")
     loaders["valid"] = get_dataloader(
         ds_valid, mode="valid", batch_size=batch_size, seed=seed,
         num_shards=num_shards, num_workers=num_workers, rng_salt=2,
-        **shard_args,
+        worker_type=worker_type, **shard_args,
     )
     if spec.uses_unlabeled:
         assert len(loaders["labeled"]) == len(loaders["unlabeled"]), \
@@ -853,6 +861,7 @@ def run_test(config: Dict[str, Any]) -> Dict[str, float]:
         ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
         seed=config["seed"], num_shards=num_shards,
         num_workers=loader_workers(config["dataloader"]),
+        worker_type=loader_worker_type(config["dataloader"]),
         **_host_shard_args(num_shards),
     )
     model, model_state = load_eval_model(config)
@@ -889,6 +898,7 @@ def run_inference(config: Dict[str, Any]) -> np.ndarray:
         ds_test, mode="test", batch_size=config["dataloader"]["batch_size"],
         seed=config["seed"], num_shards=num_shards,
         num_workers=loader_workers(config["dataloader"]),
+        worker_type=loader_worker_type(config["dataloader"]),
         **_host_shard_args(num_shards),
     )
     # inference defaults to full precision unless test.use_amp is set

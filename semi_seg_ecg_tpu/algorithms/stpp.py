@@ -148,13 +148,14 @@ def prepare_semisup(config, return_values: bool = False):
     mesh = make_mesh(config)
     ds = build_seg_dataset(config["dataset"], split="train_unlabeled",
                            mode="eval")
-    from .common import _host_shard_args, loader_workers
+    from .common import _host_shard_args, loader_worker_type, loader_workers
 
     num_shards = data_parallel_size(mesh)
     loader = get_dataloader(
         ds, mode="eval", batch_size=config["dataloader"]["batch_size"],
         seed=config["seed"], num_shards=num_shards,
         num_workers=loader_workers(config["dataloader"]),
+        worker_type=loader_worker_type(config["dataloader"]),
         **_host_shard_args(num_shards),
     )
     model = build_model_from_config(config, train=False)

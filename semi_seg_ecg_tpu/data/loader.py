@@ -14,14 +14,20 @@ a ``jax.sharding.Mesh``:
 - **set_epoch built in.** Shuffling and every augmentation draw derive from
   ``(seed, epoch, index)`` Philox streams — the reference's
   ``sampler.set_epoch`` discipline without mutable sampler state.
-- **Thread prefetch.** A small background pool maps the (NumPy, GIL-releasing
-  scipy) per-sample pipeline and keeps a queue of ready batches so the TPU
-  never waits on the host (replaces torch ``num_workers`` processes).
+- **Thread or process workers.** A background pool maps the (NumPy,
+  GIL-releasing scipy) per-sample pipeline and a prefetch queue keeps ready
+  batches ahead of the step (torch ``num_workers`` parity). Threads are the
+  default; ``worker_type: process`` forks real worker processes — the
+  mechanism the reference's torch DataLoader uses — for multi-core hosts
+  where the Python fraction of the pipeline is GIL-bound. Because every
+  sample draw is a pure function of ``(seed, epoch, salt, index)``, both
+  pools produce bit-identical batches.
 """
 
 from __future__ import annotations
 
 import math
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -33,6 +39,21 @@ import numpy as np
 def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     keys = samples[0].keys()
     return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+# Process workers inherit the dataset by fork (never pickled): the parent
+# points this module global at the loader's dataset immediately before the
+# fork, exactly like torch's fork-mode DataLoader. Workers run only
+# numpy/scipy/native code — they must never touch jax (the parent's TPU
+# client does not survive a fork as a usable object, and spawn would re-run
+# sitecustomize's TPU plugin import in every worker — see NOTES.md).
+_WORKER_DATASET = None
+
+
+def _worker_fetch(args):
+    seed, epoch, salt, idx = args
+    rng = np.random.default_rng((seed, epoch, salt, idx))
+    return _WORKER_DATASET.get(idx, rng=rng)
 
 
 def epoch_indices(
@@ -84,7 +105,9 @@ class DataLoader:
         shard_offset: int = 0,
         local_shards: Optional[int] = None,
         rng_salt: int = 0,
+        worker_type: str = "thread",
     ):
+        assert worker_type in ("thread", "process"), worker_type
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -98,11 +121,48 @@ class DataLoader:
         self.shard_offset = shard_offset
         self.local_shards = local_shards if local_shards is not None else num_shards
         self.rng_salt = rng_salt
+        self.worker_type = worker_type
         self.epoch = 0
         self._pool = None
+        self._pool_kind = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def _ensure_pool(self) -> None:
+        if self._pool is not None or self.num_workers <= 1:
+            return
+        if self.worker_type == "process":
+            try:
+                ctx = multiprocessing.get_context("fork")
+            except ValueError:  # non-POSIX: spawn would re-init jax plugins
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+                self._pool_kind = "thread"
+                return
+            global _WORKER_DATASET
+            _WORKER_DATASET = self.dataset  # inherited by fork, not pickled
+            self._pool = ctx.Pool(self.num_workers)
+            self._pool_kind = "process"
+        else:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            self._pool_kind = "thread"
+
+    def close(self) -> None:
+        """Shut the worker pool down (persistent across epochs otherwise)."""
+        pool, self._pool, self._pool_kind = self._pool, None, None
+        if pool is None:
+            return
+        if isinstance(pool, ThreadPoolExecutor):
+            pool.shutdown(wait=False)
+        else:
+            pool.terminate()
+            pool.join()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     @property
     def samples_per_shard(self) -> int:
@@ -144,23 +204,29 @@ class DataLoader:
     def _produce(self, step_indices: np.ndarray) -> Dict[str, np.ndarray]:
         flat = step_indices.reshape(-1)
         epoch, seed, salt = self.epoch, self.seed, self.rng_salt
-        order = np.arange(len(flat))
 
         def fetch(k: int) -> Dict[str, np.ndarray]:
             idx = int(flat[k])
             rng = np.random.default_rng((seed, epoch, salt, idx))
             return self.dataset.get(idx, rng=rng)
 
-        if self._pool is not None and len(flat) > 1:
-            samples = list(self._pool.map(fetch, order))
+        if self._pool_kind == "process" and len(flat) > 1:
+            # map preserves order; the (seed, epoch, salt, idx) key makes
+            # the result identical to an in-process fetch
+            samples = self._pool.map(
+                _worker_fetch,
+                [(seed, epoch, salt, int(i)) for i in flat],
+                chunksize=max(1, len(flat) // (2 * self.num_workers)),
+            )
+        elif self._pool is not None and len(flat) > 1:
+            samples = list(self._pool.map(fetch, range(len(flat))))
         else:
-            samples = [fetch(k) for k in order]
+            samples = [fetch(k) for k in range(len(flat))]
         return _collate(samples)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         mat = self.step_indices()
-        if self._pool is None and self.num_workers > 1:
-            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        self._ensure_pool()
         if self.prefetch <= 1 or len(mat) <= 1:
             for step in range(len(mat)):
                 yield self._produce(mat[step])
@@ -228,6 +294,7 @@ def get_dataloader(
     rng_salt: int = 0,
     num_workers: int = 4,
     drop_last: Optional[bool] = None,
+    worker_type: str = "thread",
     **_ignored,
 ) -> DataLoader:
     """Reference-compatible builder (semi_dataset.py:326-362).
@@ -253,4 +320,5 @@ def get_dataloader(
         shard_offset=shard_offset,
         local_shards=local_shards,
         rng_salt=rng_salt,
+        worker_type=worker_type,
     )

@@ -1,0 +1,94 @@
+"""Process-worker loader pool (``dataloader.worker_type: process``).
+
+The reference's torch DataLoader runs ``num_workers`` forked processes; our
+default pool is threads (the pipeline is mostly GIL-releasing numpy/scipy),
+but on multi-core hosts whose configs lean on Python-heavy transforms the
+fork pool is the production host path. Because every sample draw is a pure
+function of ``(seed, epoch, salt, index)``, the two pools must produce
+bit-identical batches — that equivalence is the contract pinned here.
+"""
+
+import numpy as np
+import pytest
+
+from semi_seg_ecg_tpu.data.dataset import build_seg_dataset
+from semi_seg_ecg_tpu.data.loader import DataLoader
+
+
+def _epoch_batches(loader, epoch):
+    loader.set_epoch(epoch)
+    return list(loader)
+
+
+def _make(dataset, worker_type, **kw):
+    return DataLoader(dataset, batch_size=4, shuffle=True, seed=11,
+                      num_shards=2, drop_last=True, num_workers=3,
+                      worker_type=worker_type, **kw)
+
+
+def test_process_pool_bitwise_matches_threads(synth_dataset_cfg):
+    cfg = {
+        **synth_dataset_cfg,
+        "augmentations": [
+            {"random_resize_crop": {"target_length": 2500,
+                                    "scale_min": 0.5, "scale_max": 2.0}},
+            {"RandomApply": {"transform": {"xflip": {}}, "prob": 0.5}},
+        ],
+        "transforms": [{"standardize": {"axis": [-1, -2]}},
+                       {"to_tensor": {"dtype": "float"}}],
+    }
+    ds = build_seg_dataset(cfg, split="train_labeled")
+    threads = _make(ds, "thread")
+    procs = _make(ds, "process")
+    try:
+        for epoch in (0, 1):
+            for bt, bp in zip(_epoch_batches(threads, epoch),
+                              _epoch_batches(procs, epoch)):
+                assert bt.keys() == bp.keys()
+                for k in bt:
+                    np.testing.assert_array_equal(bt[k], bp[k])
+    finally:
+        threads.close()
+        procs.close()
+
+
+class _ExplodingDataset:
+    def __len__(self):
+        return 8
+
+    def get(self, idx, rng=None):
+        if idx == 5:
+            raise RuntimeError("bad sample 5")
+        return {"ecg": np.zeros((1, 16), np.float32)}
+
+
+@pytest.mark.parametrize("worker_type", ["thread", "process"])
+def test_worker_error_propagates(worker_type):
+    loader = DataLoader(_ExplodingDataset(), batch_size=4, shuffle=False,
+                        num_workers=2, worker_type=worker_type)
+    try:
+        with pytest.raises(RuntimeError, match="bad sample 5"):
+            list(loader)
+    finally:
+        loader.close()
+
+
+def test_close_is_idempotent_and_pool_persists_across_epochs():
+    class _Tiny:
+        def __len__(self):
+            return 4
+
+        def get(self, idx, rng=None):
+            return {"x": np.full((2,), idx, np.float32)}
+
+    loader = DataLoader(_Tiny(), batch_size=2, shuffle=False,
+                        num_workers=2, worker_type="process")
+    try:
+        _epoch_batches(loader, 0)
+        pool_first = loader._pool
+        _epoch_batches(loader, 1)
+        assert loader._pool is pool_first  # persistent, not per-epoch
+    finally:
+        loader.close()
+        loader.close()  # idempotent
+    assert loader._pool is None
