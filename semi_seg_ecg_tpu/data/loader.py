@@ -26,6 +26,7 @@ a ``jax.sharding.Mesh``:
 
 from __future__ import annotations
 
+import logging
 import math
 import multiprocessing
 import queue
@@ -41,13 +42,23 @@ def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
 
 
-# Process workers inherit the dataset by fork (never pickled): the parent
-# points this module global at the loader's dataset immediately before the
-# fork, exactly like torch's fork-mode DataLoader. Workers run only
+# Process workers inherit the dataset by fork (never pickled): the Pool's
+# initializer closure carries the dataset through the fork and rebinds this
+# global *inside each worker*, exactly like torch's fork-mode DataLoader.
+# Binding via the initializer (not a parent-side global) matters twice over:
+# Pool respawns a crashed worker by forking the parent again and re-running
+# the initializer, so the replacement always rebinds its own pool's dataset
+# even when several pools coexist; and the parent process never pins a
+# dataset reference beyond the pool's lifetime. Workers run only
 # numpy/scipy/native code — they must never touch jax (the parent's TPU
 # client does not survive a fork as a usable object, and spawn would re-run
 # sitecustomize's TPU plugin import in every worker — see NOTES.md).
 _WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
 
 
 def _worker_fetch(args):
@@ -107,7 +118,10 @@ class DataLoader:
         rng_salt: int = 0,
         worker_type: str = "thread",
     ):
-        assert worker_type in ("thread", "process"), worker_type
+        if worker_type not in ("thread", "process"):
+            raise ValueError(
+                f"worker_type must be 'thread' or 'process', got "
+                f"{worker_type!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -125,6 +139,11 @@ class DataLoader:
         self.epoch = 0
         self._pool = None
         self._pool_kind = None
+        if self.worker_type == "process" and self.num_workers > 1:
+            # fork eagerly, before any prefetch producer thread (or jax
+            # dispatch) is live in this loader's lifetime — shrinks the
+            # fork-with-locked-library-threads window to construction time
+            self._ensure_pool()
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -136,12 +155,14 @@ class DataLoader:
             try:
                 ctx = multiprocessing.get_context("fork")
             except ValueError:  # non-POSIX: spawn would re-init jax plugins
+                logging.getLogger(__name__).warning(
+                    "worker_type: process needs the fork start method, "
+                    "unavailable on this platform - falling back to threads")
                 self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
                 self._pool_kind = "thread"
                 return
-            global _WORKER_DATASET
-            _WORKER_DATASET = self.dataset  # inherited by fork, not pickled
-            self._pool = ctx.Pool(self.num_workers)
+            self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
+                                  initargs=(self.dataset,))
             self._pool_kind = "process"
         else:
             self._pool = ThreadPoolExecutor(max_workers=self.num_workers)

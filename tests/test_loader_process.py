@@ -73,6 +73,49 @@ def test_worker_error_propagates(worker_type):
         loader.close()
 
 
+class _ConstDataset:
+    def __init__(self, value):
+        self.value = value
+
+    def __len__(self):
+        return 8
+
+    def get(self, idx, rng=None):
+        return {"x": np.full((2,), self.value, np.float32)}
+
+
+def test_respawned_worker_rebinds_its_own_pools_dataset():
+    """Pool respawns a dead worker by re-forking the parent — the
+    replacement must serve ITS pool's dataset, not whichever one was bound
+    last (two pools coexist in every semi-supervised run)."""
+    import os
+    import signal
+    import time
+
+    a = DataLoader(_ConstDataset(1.0), batch_size=4, shuffle=False,
+                   num_workers=2, worker_type="process", prefetch=1)
+    b = DataLoader(_ConstDataset(2.0), batch_size=4, shuffle=False,
+                   num_workers=2, worker_type="process", prefetch=1)
+    try:
+        assert all((batch["x"] == 1.0).all() for batch in a)
+        assert all((batch["x"] == 2.0).all() for batch in b)
+        # kill one of A's workers; the pool's handler forks a replacement
+        os.kill(a._pool._pool[0].pid, signal.SIGKILL)
+        deadline = time.time() + 10
+        while a._pool._pool[0].pid is None and time.time() < deadline:
+            time.sleep(0.05)
+        for _ in range(4):  # enough maps to hit the respawned worker
+            assert all((batch["x"] == 1.0).all() for batch in a)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_invalid_worker_type_raises():
+    with pytest.raises(ValueError, match="worker_type"):
+        DataLoader(_ConstDataset(0.0), batch_size=2, worker_type="proces")
+
+
 def test_close_is_idempotent_and_pool_persists_across_epochs():
     class _Tiny:
         def __len__(self):
