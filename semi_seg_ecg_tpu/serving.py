@@ -1,0 +1,126 @@
+"""Self-contained serving artifacts via StableHLO export.
+
+Beyond the reference (whose serving story ends at ``src/inference.py``
+writing ``test_outputs.npy``): `export_serving` compiles the eval-mode
+model — checkpoint weights baked in as constants — to a serialized
+StableHLO program (``jax.export``) that any JAX runtime can load and run
+WITHOUT this framework's Python code, model classes, or checkpoint
+machinery. That is the TPU-native deployment unit: ship one file to the
+serving fleet, `load_serving` it, call it on ``(B, leads, T)`` float32
+batches, get softmax probabilities ``(B, C, T)``.
+
+Semantics match ``inference.py`` exactly: fp32 unless ``test.use_amp``,
+``quantize: int8`` honored (the dynamic-quantization graph exports like
+any other jitted program — it is plain XLA ops, ``ops/quant.py``).
+
+The batch dimension is exported symbolically by default, so one artifact
+serves any batch size; pass ``batch_size`` to pin it (marginally better
+compile-time specialization at load).
+
+Artifact layout: ``ECGSHLO1`` magic, 4-byte little-endian JSON-header
+length, JSON header (shapes, classes, precision, platforms, vjp order),
+then the StableHLO blob.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_MAGIC = b"ECGSHLO1"
+
+
+def make_serving_fn(config: Dict[str, Any]):
+    """``(infer, model_state)`` for a config: eval-mode model with the
+    requested checkpoint restored; ``infer(ecg) -> softmax (B, C, T)``
+    with inference.py's precision rule (fp32 unless ``test.use_amp``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .algorithms.common import apply_eval, load_eval_model, test_cfg
+
+    if not test_cfg(config).get("use_amp", False):
+        config = {**config, "precision": "fp32"}
+    model, model_state = load_eval_model(config)
+
+    def infer(ecg):
+        out = apply_eval(model, model_state, ecg)
+        return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
+
+    return infer, model_state
+
+
+def export_serving(
+    config: Dict[str, Any],
+    out_path: str,
+    batch_size: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export the config's serving model to ``out_path``; returns the
+    artifact header. ``platforms`` defaults to the current backend; pass
+    e.g. ``("tpu", "cpu")`` for a cross-platform artifact (works for the
+    standard conv/dense graphs; Pallas attention kernels are TPU-only —
+    export ViT configs with ``attention_impl: xla`` for portability)."""
+    import jax
+    from jax import export as jexport
+
+    infer, _ = make_serving_fn(config)
+
+    num_leads = 1
+    length = config["dataset"].get("signal_length", 2500)
+    if batch_size is None:
+        shape = jexport.symbolic_shape(f"b, {num_leads}, {length}")
+    else:
+        shape = (batch_size, num_leads, length)
+    spec = jax.ShapeDtypeStruct(shape, np.float32)
+
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jexport.export(jax.jit(infer), **kwargs)(spec)
+    blob = exported.serialize()
+
+    header = {
+        "format": "stablehlo/jax.export",
+        "input_shape": [None if batch_size is None else batch_size,
+                        num_leads, length],
+        "num_classes": int(exported.out_avals[0].shape[1]),
+        "output": "softmax_probs (B, C, T) float32",
+        "precision": config.get("precision", "fp32"),
+        "quantize": config.get("quantize", None),
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }
+    payload = json.dumps(header).encode("utf-8")
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+        f.write(blob)
+    os.replace(tmp, out_path)  # atomic, same discipline as checkpoints
+    return header
+
+
+def load_serving(path: str) -> Tuple[Callable, Dict[str, Any]]:
+    """Load an exported artifact: ``(serve, header)`` where
+    ``serve(ecg) -> probs`` runs the baked-in weights on the current
+    backend. Needs only jax — none of this framework's model code."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a serving artifact "
+                             f"(bad magic {magic!r})")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        blob = f.read()
+    exported = jexport.deserialize(blob)
+
+    def serve(ecg):
+        return exported.call(ecg)
+
+    return serve, header

@@ -1,0 +1,99 @@
+"""StableHLO serving export (semi_seg_ecg_tpu/serving.py).
+
+Contracts:
+- the exported artifact reproduces ``inference.py``'s outputs (same math,
+  weights baked in; the batch-polymorphic program compiles separately from
+  the batch-specialized jit, so equality is to float tolerance, not bits);
+- the default export is batch-polymorphic — one artifact serves any
+  batch size;
+- ``quantize: int8`` configs export (dynamic quantization is plain XLA);
+- the loader rejects non-artifact files instead of mis-parsing them.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_seg_ecg_tpu import serving
+from semi_seg_ecg_tpu.algorithms.common import init_model_state
+from semi_seg_ecg_tpu.models import build_model_from_config
+from semi_seg_ecg_tpu.utils import checkpoint as ckpt
+
+from tests.test_models import RESNET_CFG
+
+SIG_LEN = 512
+
+
+@pytest.fixture(scope="module")
+def exported_config(tmp_path_factory):
+    """A config whose best-checkpoint exists on disk (random weights —
+    export semantics don't care about training)."""
+    root = tmp_path_factory.mktemp("serving")
+    config = {
+        **{k: dict(v) if isinstance(v, dict) else v
+           for k, v in RESNET_CFG.items()},
+        "seed": 3,
+        "dataset": {"signal_length": SIG_LEN},
+        "test": {"model_path": str(root / "model.ckpt"),
+                 "target_metric": "MeanIoU"},
+        "output_dir": str(root), "exp_name": "exp",
+    }
+    model = build_model_from_config(config, train=False, serving=True)
+    ms = init_model_state(model, config, seed=3)
+    ckpt.save_checkpoint(str(root / "model.ckpt"), epoch=0, model_state=ms)
+    return config, str(root)
+
+
+def test_export_matches_inference_forward(exported_config):
+    config, root = exported_config
+    path = root + "/model.shlo"
+    header = serving.export_serving(config, path)
+    assert header["input_shape"] == [None, 1, SIG_LEN]
+    assert header["num_classes"] == 4
+    assert header["precision"] == "fp32"
+
+    serve, loaded_header = serving.load_serving(path)
+    assert loaded_header == header
+
+    infer, _ = serving.make_serving_fn(config)
+    rng = np.random.default_rng(0)
+    for batch in (1, 3):  # symbolic batch: one artifact, several sizes
+        x = jnp.asarray(rng.standard_normal((batch, 1, SIG_LEN)),
+                        jnp.float32)
+        got = np.asarray(serve(x))
+        want = np.asarray(infer(x))
+        assert got.shape == (batch, 4, SIG_LEN)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(got.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_export_pinned_batch(exported_config):
+    config, root = exported_config
+    path = root + "/model-b2.shlo"
+    header = serving.export_serving(config, path, batch_size=2)
+    assert header["input_shape"] == [2, 1, SIG_LEN]
+    serve, _ = serving.load_serving(path)
+    x = jnp.zeros((2, 1, SIG_LEN), jnp.float32)
+    assert np.asarray(serve(x)).shape == (2, 4, SIG_LEN)
+
+
+def test_export_int8(exported_config):
+    config, root = exported_config
+    path = root + "/model-int8.shlo"
+    header = serving.export_serving({**config, "quantize": "int8"}, path,
+                                    batch_size=2)
+    assert header["quantize"] == "int8"
+    serve, _ = serving.load_serving(path)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 1, SIG_LEN)),
+                    jnp.float32)
+    probs = np.asarray(serve(x))
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_loader_rejects_non_artifact(tmp_path):
+    bad = tmp_path / "not_an_artifact.shlo"
+    bad.write_bytes(b"definitely not stablehlo")
+    with pytest.raises(ValueError, match="bad magic"):
+        serving.load_serving(str(bad))
