@@ -146,7 +146,7 @@ def probe_link():
     return out
 
 
-def _build(scan_k: int, aot: bool = True):
+def _build(scan_k: int, aot: bool = True, batch_per_replica: int = 16):
     """Compile the benchmark program: the per-step FixMatch train step
     (scan_k=1) or a K-step ``lax.scan`` over it. Returns
     ``(compiled, state, run_batch, flops_per_call, global_batch)``.
@@ -154,7 +154,9 @@ def _build(scan_k: int, aot: bool = True):
     ``aot=False`` skips the AOT compile and returns the jitted-but-
     uncompiled step (flops 0.0) — for callers that only need the built
     state/batch to assemble a different program (tools/profile_step.py
-    --augment), where the compile would be pure wasted wall-clock."""
+    --augment), where the compile would be pure wasted wall-clock.
+    ``batch_per_replica`` stays at the reference recipe's 16 for the
+    number of record; tools/bench_scale.py sweeps it."""
     import jax
 
     from __graft_entry__ import _flagship_config
@@ -166,7 +168,6 @@ def _build(scan_k: int, aot: bool = True):
     )
     from semi_seg_ecg_tpu.utils.optimizer import build_optimizer
 
-    batch_per_replica = 16
     sig_len = 2500
     config = _flagship_config(signal_length=sig_len,
                               batch_per_replica=batch_per_replica)
