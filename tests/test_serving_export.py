@@ -92,6 +92,19 @@ def test_export_int8(exported_config):
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
 
 
+def test_cross_platform_export(exported_config):
+    """--platforms tpu cpu: one artifact lowered for both backends (the
+    CPU test host can still execute its cpu lowering)."""
+    config, root = exported_config
+    path = root + "/model-xplat.shlo"
+    header = serving.export_serving(config, path, batch_size=2,
+                                    platforms=("cpu", "tpu"))
+    assert header["platforms"] == ["cpu", "tpu"]
+    serve, _ = serving.load_serving(path)
+    assert np.asarray(serve(jnp.zeros((2, 1, SIG_LEN)))).shape \
+        == (2, 4, SIG_LEN)
+
+
 def test_loader_rejects_non_artifact(tmp_path):
     bad = tmp_path / "not_an_artifact.shlo"
     bad.write_bytes(b"definitely not stablehlo")
