@@ -124,3 +124,34 @@ def load_serving(path: str) -> Tuple[Callable, Dict[str, Any]]:
         return exported.call(ecg)
 
     return serve, header
+
+
+def serve_batched(serve: Callable, ecg: np.ndarray,
+                  bucket_sizes: Sequence[int] = (16, 64, 256)):
+    """Run ``serve`` on an arbitrary-size batch through fixed size buckets.
+
+    A batch-polymorphic artifact recompiles per distinct batch size at
+    call time; in production ragged request sizes would each pay that
+    compile. This pads the batch up to the smallest admitting bucket
+    (largest bucket repeated for the overflow), so at most
+    ``len(bucket_sizes)`` programs ever compile, and slices the padding
+    back off. Rows are independent in this model family, so padding rows
+    never change real outputs."""
+    if not bucket_sizes:
+        raise ValueError("bucket_sizes must be non-empty")
+    buckets = sorted(bucket_sizes)
+    n = ecg.shape[0]
+    outs = []
+    off = 0
+    while off < n:
+        rest = n - off
+        size = next((b for b in buckets if b >= rest), buckets[-1])
+        take = min(rest, size)
+        chunk = ecg[off:off + take]
+        if take < size:
+            pad = np.zeros((size - take,) + tuple(ecg.shape[1:]),
+                           dtype=ecg.dtype)
+            chunk = np.concatenate([np.asarray(chunk), pad], axis=0)
+        outs.append(np.asarray(serve(chunk))[:take])
+        off += take
+    return np.concatenate(outs, axis=0)

@@ -105,6 +105,29 @@ def test_cross_platform_export(exported_config):
         == (2, 4, SIG_LEN)
 
 
+def test_serve_batched_buckets(exported_config):
+    """Ragged batches route through fixed buckets; outputs match the
+    direct call row-for-row and padding rows never leak."""
+    config, root = exported_config
+    path = root + "/model.shlo"  # reuse the symbolic artifact
+    serve, _ = serving.load_serving(path)
+    rng = np.random.default_rng(2)
+    calls = []
+
+    def counting_serve(x):
+        calls.append(x.shape[0])
+        return serve(x)
+
+    x = rng.standard_normal((11, 1, SIG_LEN)).astype(np.float32)
+    got = serving.serve_batched(counting_serve, x, bucket_sizes=(4, 8))
+    want = np.asarray(serve(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # 11 rows through buckets {4, 8}: one 8-chunk + one padded 4-chunk
+    assert calls == [8, 4]
+    with pytest.raises(ValueError, match="non-empty"):
+        serving.serve_batched(serve, x, bucket_sizes=())
+
+
 def test_loader_rejects_non_artifact(tmp_path):
     bad = tmp_path / "not_an_artifact.shlo"
     bad.write_bytes(b"definitely not stablehlo")
