@@ -313,7 +313,11 @@ def main(steps: int = 100) -> None:
     peak = _PEAK_BF16_FLOPS.get(kind)
 
     def throughput(scan_k):
-        calls = max(steps // scan_k, 1)
+        # each slope window needs enough *dispatches* that per-call link
+        # noise averages out: steps//32 would give the scan mode only 3
+        # calls per window, letting a noisy T(N) fetch swing the recorded
+        # rate past the device-busy floor (round-3 finding)
+        calls = max(steps // scan_k, 10)
         compiled, state, run_batch, flops_call, global_batch = _build(scan_k)
         dt, _, barrier = _measure(compiled, state, run_batch, calls)
         sps = calls * scan_k * global_batch / dt

@@ -68,7 +68,15 @@ def export_serving(
     import jax
     from jax import export as jexport
 
+    from .algorithms.common import test_cfg
+
     infer, _ = make_serving_fn(config)
+    # the header must state the precision of the graph actually traced:
+    # make_serving_fn forces fp32 unless test.use_amp (inference.py rule),
+    # regardless of the config's training-time precision key
+    effective_precision = (config.get("precision", "bf16")
+                           if test_cfg(config).get("use_amp", False)
+                           else "fp32")
 
     num_leads = 1
     length = config["dataset"].get("signal_length", 2500)
@@ -88,7 +96,7 @@ def export_serving(
                         num_leads, length],
         "num_classes": int(exported.out_avals[0].shape[1]),
         "output": "softmax_probs (B, C, T) float32",
-        "precision": config.get("precision", "fp32"),
+        "precision": effective_precision,
         "quantize": config.get("quantize", None),
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
@@ -115,9 +123,18 @@ def load_serving(path: str) -> Tuple[Callable, Dict[str, Any]]:
         if magic != _MAGIC:
             raise ValueError(f"{path}: not a serving artifact "
                              f"(bad magic {magic!r})")
-        (hlen,) = struct.unpack("<I", f.read(4))
-        header = json.loads(f.read(hlen).decode("utf-8"))
+        raw_len = f.read(4)
+        if len(raw_len) != 4:
+            raise ValueError(f"{path}: truncated serving artifact")
+        (hlen,) = struct.unpack("<I", raw_len)
+        raw_header = f.read(hlen)
         blob = f.read()
+        if len(raw_header) != hlen or not blob:
+            raise ValueError(f"{path}: truncated serving artifact")
+        try:
+            header = json.loads(raw_header.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(f"{path}: corrupt artifact header: {e}") from e
     exported = jexport.deserialize(blob)
 
     def serve(ecg):
@@ -141,6 +158,11 @@ def serve_batched(serve: Callable, ecg: np.ndarray,
         raise ValueError("bucket_sizes must be non-empty")
     buckets = sorted(bucket_sizes)
     n = ecg.shape[0]
+    if n == 0:
+        # output row shape (C, T) is only knowable from the program: run
+        # the smallest bucket once and keep zero rows
+        probe = np.zeros((buckets[0],) + tuple(ecg.shape[1:]), ecg.dtype)
+        return np.asarray(serve(probe))[:0]
     outs = []
     off = 0
     while off < n:

@@ -43,6 +43,8 @@ def exported_config(tmp_path_factory):
     model = build_model_from_config(config, train=False, serving=True)
     ms = init_model_state(model, config, seed=3)
     ckpt.save_checkpoint(str(root / "model.ckpt"), epoch=0, model_state=ms)
+    # the shared symbolic-batch artifact several tests load
+    serving.export_serving(config, str(root / "model.shlo"))
     return config, str(root)
 
 
@@ -128,8 +130,30 @@ def test_serve_batched_buckets(exported_config):
         serving.serve_batched(serve, x, bucket_sizes=())
 
 
+def test_header_precision_reflects_traced_graph(exported_config):
+    """A bf16 training config without test.use_amp exports an fp32 graph
+    (inference.py rule) — the header must say fp32, not echo the config."""
+    config, root = exported_config
+    path = root + "/model-bf16cfg.shlo"
+    header = serving.export_serving({**config, "precision": "bf16"}, path,
+                                    batch_size=1)
+    assert header["precision"] == "fp32"
+
+
+def test_serve_batched_empty_batch(exported_config):
+    config, root = exported_config
+    serve, _ = serving.load_serving(root + "/model.shlo")
+    x = np.zeros((0, 1, SIG_LEN), np.float32)
+    out = serving.serve_batched(serve, x, bucket_sizes=(4,))
+    assert out.shape == (0, 4, SIG_LEN)
+
+
 def test_loader_rejects_non_artifact(tmp_path):
     bad = tmp_path / "not_an_artifact.shlo"
     bad.write_bytes(b"definitely not stablehlo")
     with pytest.raises(ValueError, match="bad magic"):
         serving.load_serving(str(bad))
+    truncated = tmp_path / "truncated.shlo"
+    truncated.write_bytes(b"ECGSHLO1\x10")  # magic + partial length word
+    with pytest.raises(ValueError, match="truncated"):
+        serving.load_serving(str(truncated))

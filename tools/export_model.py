@@ -49,8 +49,14 @@ def main(argv=None):
     from semi_seg_ecg_tpu.algorithms.common import experiment_dir
     from semi_seg_ecg_tpu.serving import export_serving
 
-    out = args.out or os.path.join(
-        experiment_dir(config), f"serving-{config.get('exp_name', 'model')}.shlo")
+    out = args.out
+    if not out:
+        exp_dir = experiment_dir(config)
+        if not exp_dir:
+            ap.error("config has no output_dir/exp_name to derive an "
+                     "artifact path from - pass --out PATH")
+        out = os.path.join(
+            exp_dir, f"serving-{config.get('exp_name', 'model')}.shlo")
     header = export_serving(config, out, batch_size=args.batch,
                             platforms=args.platforms)
     print(json.dumps({"artifact": out,
