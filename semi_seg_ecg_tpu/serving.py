@@ -143,6 +143,81 @@ def load_serving(path: str) -> Tuple[Callable, Dict[str, Any]]:
     return serve, header
 
 
+def make_http_server(artifact_path: str, host: str = "127.0.0.1",
+                     port: int = 8000,
+                     bucket_sizes: Sequence[int] = (16, 64, 256)):
+    """An HTTP server over an exported artifact (``tools/serve.py`` CLI).
+
+    Endpoints:
+    - ``GET /v1/metadata`` → the artifact header (JSON) + bucket sizes;
+    - ``POST /v1/predict`` with an ``.npy``-serialized float32 array
+      ``(B, leads, T)`` body → ``.npy`` softmax probabilities ``(B, C, T)``.
+
+    Requests route through :func:`serve_batched` (so ragged client batch
+    sizes compile at most ``len(bucket_sizes)`` programs) under a lock —
+    one device, one program at a time; HTTP I/O itself is threaded.
+    Returns the server; call ``serve_forever()`` (or ``shutdown()``).
+    """
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    serve, header = load_serving(artifact_path)
+    meta = json.dumps({**header, "bucket_sizes": list(bucket_sizes),
+                       "endpoints": ["GET /v1/metadata",
+                                     "POST /v1/predict"]}).encode()
+    device_lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: stdout is the CLI's channel
+            pass
+
+        def _reply(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, code, msg):
+            self._reply(code, json.dumps({"error": msg}).encode(),
+                        "application/json")
+
+        def do_GET(self):
+            if self.path == "/v1/metadata":
+                self._reply(200, meta, "application/json")
+            else:
+                self._error(404, f"unknown path {self.path}")
+
+        def do_POST(self):
+            if self.path != "/v1/predict":
+                self._error(404, f"unknown path {self.path}")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                x = np.load(io.BytesIO(self.rfile.read(length)),
+                            allow_pickle=False)
+            except Exception as e:
+                self._error(400, f"body must be a .npy array: {e}")
+                return
+            want = header["input_shape"]
+            if (x.ndim != 3 or list(x.shape[1:]) != want[1:] or
+                    (want[0] is not None and x.shape[0] != want[0])):
+                self._error(400, f"expected shape {want}, got {list(x.shape)}")
+                return
+            with device_lock:
+                if want[0] is not None:  # pinned batch: exact size, no pad
+                    probs = np.asarray(serve(x.astype(np.float32)))
+                else:
+                    probs = serve_batched(serve, x.astype(np.float32),
+                                          bucket_sizes)
+            buf = io.BytesIO()
+            np.save(buf, probs, allow_pickle=False)
+            self._reply(200, buf.getvalue(), "application/x-npy")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def serve_batched(serve: Callable, ecg: np.ndarray,
                   bucket_sizes: Sequence[int] = (16, 64, 256)):
     """Run ``serve`` on an arbitrary-size batch through fixed size buckets.

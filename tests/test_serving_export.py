@@ -148,6 +148,53 @@ def test_serve_batched_empty_batch(exported_config):
     assert out.shape == (0, 4, SIG_LEN)
 
 
+def test_http_server_predict_and_metadata(exported_config):
+    """tools/serve.py surface: metadata + npy-in/npy-out prediction over
+    a real socket, matching the direct artifact call."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    config, root = exported_config
+    path = root + "/model.shlo"
+    server = serving.make_http_server(path, port=0, bucket_sizes=(4,))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        meta = json.loads(urllib.request.urlopen(
+            base + "/v1/metadata", timeout=30).read())
+        assert meta["num_classes"] == 4 and meta["bucket_sizes"] == [4]
+
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((3, 1, SIG_LEN)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(base + "/v1/predict",
+                                     data=buf.getvalue(), method="POST")
+        probs = np.load(io.BytesIO(
+            urllib.request.urlopen(req, timeout=120).read()))
+        serve, _ = serving.load_serving(path)
+        want = serving.serve_batched(serve, x, bucket_sizes=(4,))
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+
+        # malformed body and wrong shape are 400s, unknown path 404
+        for body, code in [(b"junk", 400), (None, 404)]:
+            url = base + ("/v1/predict" if body else "/nope")
+            req = urllib.request.Request(url, data=body or b"",
+                                         method="POST" if body else "GET")
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, "expected HTTPError"
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_loader_rejects_non_artifact(tmp_path):
     bad = tmp_path / "not_an_artifact.shlo"
     bad.write_bytes(b"definitely not stablehlo")
