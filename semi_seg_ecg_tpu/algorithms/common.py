@@ -550,11 +550,22 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     if state_hook is not None:
         state = state_hook(config, model, state)
     state = ckpt.maybe_resume(config, state)
-    from ..parallel.sharding_rules import shard_state
+    from ..parallel.sharding_rules import shard_state, state_shardings
 
     # DP: everything replicated; with a model axis the TP rules shard the
-    # transformer projections (and their Adam moments / EMA / peer copies)
-    state = shard_state(mesh, state)
+    # transformer projections (and their Adam moments / EMA / peer copies);
+    # parallel.shard_optimizer adds ZeRO-1 moment sharding over `data`
+    shard_opt = bool(config.get("parallel", {}).get(
+        "shard_optimizer", False)) and dp > 1
+    if shard_opt and jax.process_count() > 1 and \
+            config.get("checkpoint_backend", "pickle") != "orbax":
+        # the native single-file writer fetches whole arrays; moment
+        # shards on other hosts are not addressable from rank 0
+        log("shard_optimizer: multi-host runs need checkpoint_backend: "
+            "orbax - proceeding with replicated optimizer state",
+            force=True)
+        shard_opt = False
+    state = shard_state(mesh, state, shard_optimizer=shard_opt)
 
     lr_fn = make_lr_schedule(config["train"], updates_per_epoch)
     inner_step = spec.make_train_step(model, tx, config, updates_per_epoch)
@@ -592,6 +603,22 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
         # (base.py:135-137): jax_debug_nans re-runs the offending op
         # un-jitted and raises at its source. Debug mode — slow.
         jax.config.update("jax_debug_nans", True)
+    if shard_opt:
+        # pin the output state's shardings: without the constraint the
+        # partitioner is free to re-replicate the moments on the way out,
+        # which silently undoes the ZeRO-1 memory saving
+        _zero1_shardings = state_shardings(mesh, state,
+                                           shard_optimizer=True)
+
+        def _zero1_step(state, batch, _inner=inner_step):
+            new_state, metrics = _inner(state, batch)
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, _zero1_shardings)
+            return new_state, metrics
+
+        inner_step = _zero1_step
+        log("shard_optimizer: Adam moments sharded over the data axis "
+            f"({dp}-way); weight update runs reduce-scatter/all-gather")
     train_step = jax.jit(inner_step, donate_argnums=0)
     # device-side multi-step loop: K steps per dispatch via lax.scan —
     # amortises host dispatch (2.3x vs per-step through a high-latency

@@ -15,6 +15,18 @@ Rules are applied by *trailing* path patterns, so the same matcher shards
 ``params``, the Adam ``mu``/``nu`` moments, EMA teachers and CPS peers
 consistently. With ``model_parallel: 1`` every spec degenerates to
 replicated — the rules are always on, costing nothing in the pure-DP case.
+
+**Optimizer-state sharding** (``parallel.shard_optimizer: true``) is
+ZeRO-1 done the GSPMD way (the "automatic cross-replica sharding of
+weight update" recipe from the XLA literature): the Adam moments — which
+no forward pass ever reads — additionally shard over the ``data`` axis,
+and the train step's output state carries a sharding constraint pinning
+them there, so XLA partitions the weight update (reduce-scatter the
+gradients into the sharded moment update, all-gather the parameter
+delta) instead of replicating it. Optimizer memory drops from 2× params
+per device to 2×/N, and the update's elementwise FLOPs drop by N, at
+all-reduce-equivalent communication cost. Params/EMA/peer stay
+replicated — they feed forward passes every step.
 """
 
 from __future__ import annotations
@@ -24,8 +36,12 @@ from typing import Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 from ..utils.treepath import key_path_names
+
+# TrainState branches holding pure optimizer state (never read by any
+# forward pass) — the ZeRO-1 sharding targets
+_OPT_BRANCHES = ("opt_state", "peer_opt_state")
 
 
 def _names(path) -> Tuple[str, ...]:
@@ -61,33 +77,60 @@ def spec_for_path(names: Tuple[str, ...], ndim: int) -> P:
     return P()
 
 
-def state_shardings(mesh: Mesh, state):
-    """NamedSharding pytree for a TrainState (params, moments, EMA, peer)."""
+def _add_data_axis(spec: P, shape, mesh: Mesh) -> P:
+    """Extend a (possibly TP-)spec with the ``data`` axis on the first
+    free, evenly-divisible dim; unchanged when none qualifies (that leaf
+    stays replicated over ``data`` — correct, just not sharded)."""
+    dp = mesh.shape[DATA_AXIS]
+    if dp <= 1:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    for dim, axis in enumerate(entries):
+        if axis is None and shape[dim] > 0 and shape[dim] % dp == 0:
+            entries[dim] = DATA_AXIS
+            return P(*entries)
+    return spec
+
+
+def state_shardings(mesh: Mesh, state, shard_optimizer: bool = False):
+    """NamedSharding pytree for a TrainState (params, moments, EMA, peer).
+
+    ``shard_optimizer`` additionally spreads the ``opt_state`` /
+    ``peer_opt_state`` leaves over the ``data`` axis (ZeRO-1, module
+    docstring)."""
 
     def leaf_sharding(path, leaf):
         ndim = getattr(leaf, "ndim", 0)
-        spec = spec_for_path(_names(path), ndim)
+        names = _names(path)
+        spec = spec_for_path(names, ndim)
         # guard: a spec must not exceed the leaf's rank and sharded dims
         # must divide evenly; otherwise fall back to replication
         if len(spec) > ndim:
-            return NamedSharding(mesh, P())
-        for dim, axis in enumerate(spec):
-            if axis is not None and leaf.shape[dim] % mesh.shape[axis] != 0:
-                return NamedSharding(mesh, P())
+            spec = P()
+        else:
+            for dim, axis in enumerate(spec):
+                if axis is not None and \
+                        leaf.shape[dim] % mesh.shape[axis] != 0:
+                    spec = P()
+                    break
+        if (shard_optimizer and ndim >= 1 and names
+                and names[0] in _OPT_BRANCHES):
+            spec = _add_data_axis(spec, leaf.shape, mesh)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, state)
 
 
-def shard_state(mesh: Mesh, state):
+def shard_state(mesh: Mesh, state, shard_optimizer: bool = False):
     """Place a TrainState on the mesh under the TP rules (replicated
-    everywhere the rules don't match).
+    everywhere the rules don't match), plus ZeRO-1 moment sharding when
+    ``shard_optimizer`` is set.
 
     When a ``model`` axis is requested but no rule matched any parameter
     (e.g. after a module rename breaks the trailing patterns above), the
     guard keeps the run correct-but-replicated — warn loudly instead of
     degrading silently."""
-    shardings = state_shardings(mesh, state)
+    shardings = state_shardings(mesh, state, shard_optimizer)
     if mesh.shape[MODEL_AXIS] > 1:
         matched = any(
             s.spec != P() for s in jax.tree.leaves(
