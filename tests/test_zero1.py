@@ -77,6 +77,30 @@ def test_moments_shard_params_replicate():
         assert DATA_AXIS not in _spec_names(l)
 
 
+def test_per_device_optimizer_bytes_drop_by_dp():
+    """The point of ZeRO-1: per-device optimizer residency falls ~N×
+    (measured here: 30.95 → 3.87 MB on the 8-way mesh for ResNet18)."""
+    mesh = make_mesh()
+    dp = mesh.shape[DATA_AXIS]
+
+    def per_device_bytes(tree):
+        total = 0
+        for l in jax.tree.leaves(tree):
+            if hasattr(l, "addressable_shards"):
+                s = l.addressable_shards[0].data
+                total += s.size * s.dtype.itemsize
+        return total
+
+    _, _, replicated = _built(mesh, shard_optimizer=False)
+    _, _, sharded = _built(mesh, shard_optimizer=True)
+    rep = per_device_bytes(replicated.opt_state)
+    z1 = per_device_bytes(sharded.opt_state)
+    assert z1 <= rep / dp * 1.15, (rep, z1)  # ~N×, small replicated tail
+    # params stay fully resident everywhere
+    assert per_device_bytes(sharded.model) == per_device_bytes(
+        replicated.model)
+
+
 def test_sharded_update_matches_replicated():
     """Same batches, same init, fp32: ZeRO-1 computes the replicated run's
     numbers. The gradient reduction becomes a reduce-scatter, which
