@@ -55,6 +55,8 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .pallas.gather1d import monotonic_gather, monotonic_gather_int
+
 MAX_LEVEL = 10  # RandAugment magnitude scale (transforms.py set_level)
 
 
@@ -105,13 +107,12 @@ def random_resize_crop_batch(
     t_orig = coord.astype(jnp.float32) * (t / s[:, None].astype(jnp.float32))
     t_orig = jnp.clip(t_orig, 0.0, t - 1)
 
-    i0 = jnp.floor(t_orig).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, t - 1)
-    w = (t_orig - i0)[:, None, :]
-    gather = lambda src, idx: jnp.take_along_axis(
-        src, jnp.broadcast_to(idx[:, None, :], (b, c, t)), axis=2
-    )
-    x_out = gather(x, i0) * (1 - w) + gather(x, i1) * w
+    # the gathers run on the Pallas slope-bounded kernel on TPU (the
+    # XLA lowering is a scalarized gather-engine read, profiled at
+    # 386 us / 1.6 GB/s — ops/pallas/gather1d.py): t_orig is monotone
+    # per sample with slope t/s <= t / floor(t * scale_min)
+    s_min = max(int(t * scale_min), 1)
+    x_out = monotonic_gather(x, t_orig, max_slope=t / s_min)
     x_out = jnp.where(inside[:, None, :], x_out, 0.0)
     if y is None:
         return x_out, None
@@ -120,7 +121,8 @@ def random_resize_crop_batch(
     denom = jnp.maximum(s - 1, 1).astype(jnp.float32)[:, None]
     y_coord = coord.astype(jnp.float32) * ((t - 1) / denom)
     yi = jnp.clip(jnp.round(y_coord).astype(jnp.int32), 0, t - 1)
-    y_out = jnp.take_along_axis(y, yi, axis=1)
+    y_out = monotonic_gather_int(y, yi,
+                                 max_slope=(t - 1) / max(s_min - 1, 1))
     y_out = jnp.where(inside, y_out, 0)
     return x_out, y_out
 
@@ -296,11 +298,13 @@ def _make_device_op(name: str, kwargs: Dict[str, Any],
             src = j - signed                       # out[j] = in[j - s]
             valid = (src >= 0) & (src < t)
             src = jnp.clip(src, 0, t - 1)
-            xg = jnp.take_along_axis(
-                x, jnp.broadcast_to(src[:, None, :], (b, c, t)), axis=2)
+            # per-sample shift is a slope-1 monotone gather -> Pallas
+            # kernel on TPU (see random_resize_crop_batch note)
+            xg = monotonic_gather(x, src.astype(jnp.float32),
+                                  max_slope=1.0)
             x = jnp.where(valid[:, None, :], xg, 0.0)
             if y is not None:
-                yg = jnp.take_along_axis(y, src, axis=1)
+                yg = monotonic_gather_int(y, src, max_slope=1.0)
                 y = jnp.where(valid, yg, 0)
             return x, y
 

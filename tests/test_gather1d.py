@@ -1,0 +1,141 @@
+"""Pallas slope-bounded time-gather kernel vs the jnp formulation.
+
+The kernel (ops/pallas/gather1d.py) replaces jnp.take_along_axis in the
+fused device-augment ops; these tests pin it to the XLA path bit-for-bit
+(integer/nearest) or to f32 tolerance (lerp) in interpreter mode, both
+standalone and through the real RandomResizeCrop / RandomShift device ops.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semi_seg_ecg_tpu.ops import preprocess
+from semi_seg_ecg_tpu.ops.pallas import gather1d
+
+
+@pytest.fixture
+def interpret_impl(monkeypatch):
+    monkeypatch.setattr(gather1d, "GATHER_IMPL", "interpret")
+
+
+def _monotone_pos(rng, b, t, max_slope):
+    """Per-sample monotone positions in [0, T-1] with bounded slope."""
+    deltas = rng.uniform(0.0, max_slope, (b, t))
+    pos = np.cumsum(deltas, axis=1) - rng.uniform(0, 100, (b, 1))
+    return np.clip(pos, 0, t - 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("c,t,slope", [(1, 2500, 2.0), (3, 2500, 2.0),
+                                       (1, 300, 1.0), (2, 131, 2.5)])
+def test_lerp_matches_xla(c, t, slope):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, c, t)).astype(np.float32))
+    pos = jnp.asarray(_monotone_pos(rng, 4, t, slope))
+    ref = gather1d._xla_gather(x, pos)
+    out = gather1d._pallas_gather(x, pos, max_slope=slope, block_j=128,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=0)
+
+
+def test_int_gather_exact(interpret_impl):
+    rng = np.random.default_rng(1)
+    t = 777
+    y = jnp.asarray(rng.integers(0, 4, (5, t)).astype(np.int32))
+    shift = rng.integers(-200, 200, (5, 1))
+    src = jnp.asarray(np.clip(np.arange(t)[None, :] - shift, 0, t - 1)
+                      .astype(np.int32))
+    out = gather1d.monotonic_gather_int(y, src, max_slope=1.0)
+    ref = jnp.take_along_axis(y, src, axis=1)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_boundary_positions():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 1, 256)).astype(np.float32))
+    for pos in (jnp.zeros((2, 256)), jnp.full((2, 256), 255.0)):
+        ref = gather1d._xla_gather(x, pos)
+        out = gather1d._pallas_gather(x, pos, max_slope=2.0, block_j=128,
+                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_output_length_differs_from_input():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 2, 500)).astype(np.float32))
+    pos = jnp.asarray(_monotone_pos(rng, 2, 500, 1.5)[:, :333])
+    ref = gather1d._xla_gather(x, pos)
+    out = gather1d._pallas_gather(x, pos, max_slope=1.5, block_j=128,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_auto_dispatch_on_cpu_uses_xla():
+    # CPU backend: "auto" must take the jnp path (no interpret overhead
+    # in production CPU runs); just confirm it runs and matches
+    assert jax.default_backend() == "cpu"
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 1, 300)).astype(np.float32))
+    pos = jnp.asarray(_monotone_pos(rng, 2, 300, 2.0))
+    out = gather1d.monotonic_gather(x, pos, max_slope=2.0)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(gather1d._xla_gather(x, pos)),
+                               atol=0)
+
+
+def test_fits_vmem_budget():
+    assert gather1d.fits_vmem(1, 2500)
+    assert gather1d.fits_vmem(12, 5000)
+    assert not gather1d.fits_vmem(64, 600_000)
+
+
+def test_rrc_op_kernel_vs_xla(interpret_impl, monkeypatch):
+    """random_resize_crop_batch through the kernel == through XLA."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((6, 1, 2500)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, (6, 2500)).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+    xk, yk = preprocess.random_resize_crop_batch(key, x, y)
+    monkeypatch.setattr(gather1d, "GATHER_IMPL", "xla")
+    xr, yr = preprocess.random_resize_crop_batch(key, x, y)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xr), atol=2e-6)
+    assert np.array_equal(np.asarray(yk), np.asarray(yr))
+
+
+def test_mesh_shard_map_path(interpret_impl):
+    """Under a live multi-device mesh the kernel must go through
+    shard_map (pallas_call has no GSPMD rule) and still match XLA, with
+    sharded inputs inside a jitted program."""
+    from semi_seg_ecg_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.default_rng(7)
+    n_dev = len(jax.devices())
+    prev = mesh_mod.get_current_mesh()
+    mesh = mesh_mod.make_mesh({"parallel": {"data": n_dev}})
+    try:
+        b, t = 2 * n_dev, 2500
+        x = jnp.asarray(rng.standard_normal((b, 1, t)).astype(np.float32))
+        pos = jnp.asarray(_monotone_pos(rng, b, t, 2.0))
+        ref = np.asarray(gather1d._xla_gather(x, pos))
+        xs = jax.device_put(x, mesh_mod.batch_sharding(mesh))
+        ps = jax.device_put(pos, mesh_mod.batch_sharding(mesh))
+        out = jax.jit(lambda a, p: gather1d.monotonic_gather(
+            a, p, max_slope=2.0))(xs, ps)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-6)
+    finally:
+        mesh_mod.set_current_mesh(prev)
+
+
+def test_shift_op_kernel_vs_xla(interpret_impl, monkeypatch):
+    rng = np.random.default_rng(6)
+    op = preprocess._make_device_op("shift", {"mask_ratio": 0.3})
+    x = jnp.asarray(rng.standard_normal((4, 1, 2500)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, (4, 2500)).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+    xk, yk = op.apply(key, x, y)
+    monkeypatch.setattr(gather1d, "GATHER_IMPL", "xla")
+    xr, yr = op.apply(key, x, y)
+    np.testing.assert_array_equal(np.asarray(xk), np.asarray(xr))
+    assert np.array_equal(np.asarray(yk), np.asarray(yr))
