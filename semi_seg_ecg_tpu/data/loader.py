@@ -92,6 +92,42 @@ def epoch_indices(
     return indices
 
 
+def _abandon_pool(pool, timeout: float = 5.0) -> None:
+    """``terminate()+join()`` under a watchdog. A worker SIGKILLed (OOM
+    killer) while holding a shared-queue lock leaves that POSIX semaphore
+    permanently held, and ``Pool._terminate_pool`` then blocks forever
+    draining the inqueue (``_help_stuff_finish``) — observed as a test
+    deadlock on this box. ``terminate()`` sets the pool state to
+    TERMINATE synchronously (stopping worker respawns) before the hang
+    point, so on timeout it is safe to SIGKILL the remaining workers and
+    abandon the pool's daemon helper threads; the leaked semaphore dies
+    with the process."""
+    import os
+    import signal
+
+    done = threading.Event()
+
+    def work():
+        try:
+            pool.terminate()
+            pool.join()
+        finally:
+            done.set()
+
+    threading.Thread(target=work, daemon=True).start()
+    if done.wait(timeout):
+        return
+    logging.getLogger(__name__).warning(
+        "worker pool terminate() wedged (a worker died holding a queue "
+        "lock?) - killing its workers and abandoning it")
+    for p in list(pool._pool):
+        if p.is_alive() and p.pid is not None:
+            try:
+                os.kill(p.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+
+
 class DataLoader:
     """Iterate global batches of ``(batch_size * num_shards)`` samples.
 
@@ -164,6 +200,10 @@ class DataLoader:
             self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
                                   initargs=(self.dataset,))
             self._pool_kind = "process"
+            # liveness baseline for _process_map: any later deviation (a
+            # dead worker, or the pid swap its auto-respawn leaves behind)
+            # marks the pool's shared queues as suspect
+            self._pool_pids = {p.pid for p in self._pool._pool}
         else:
             self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
             self._pool_kind = "thread"
@@ -176,8 +216,7 @@ class DataLoader:
         if isinstance(pool, ThreadPoolExecutor):
             pool.shutdown(wait=False)
         else:
-            pool.terminate()
-            pool.join()
+            _abandon_pool(pool)
 
     def __del__(self):
         try:
@@ -234,16 +273,52 @@ class DataLoader:
         if self._pool_kind == "process" and len(flat) > 1:
             # map preserves order; the (seed, epoch, salt, idx) key makes
             # the result identical to an in-process fetch
-            samples = self._pool.map(
-                _worker_fetch,
-                [(seed, epoch, salt, int(i)) for i in flat],
-                chunksize=max(1, len(flat) // (2 * self.num_workers)),
-            )
+            samples = self._process_map(
+                [(seed, epoch, salt, int(i)) for i in flat])
         elif self._pool is not None and len(flat) > 1:
             samples = list(self._pool.map(fetch, range(len(flat))))
         else:
             samples = [fetch(k) for k in range(len(flat))]
         return _collate(samples)
+
+    def _process_map(self, args: List[tuple]) -> List[Dict[str, np.ndarray]]:
+        """``Pool.map`` that survives killed workers.
+
+        A worker SIGKILLed (OOM killer, crash in native code) while idle in
+        ``inqueue.get()`` dies holding the queue's reader lock, deadlocking
+        every other worker — and one killed mid-task loses that task, so a
+        blocking ``map`` would hang forever either way. Instead: dispatch
+        with ``map_async`` and poll; any change in the worker pid set (the
+        Pool's maintenance thread respawns crashed workers, so death shows
+        up as a pid swap) means queues may be corrupt and tasks lost —
+        rebuild the pool from scratch and re-run the whole map, which is
+        safe because every draw is a pure function of its args."""
+        chunk = max(1, len(args) // (2 * self.num_workers))
+        for attempt in range(3):
+            result = self._pool.map_async(_worker_fetch, args,
+                                          chunksize=chunk)
+            while True:
+                try:
+                    return result.get(timeout=0.2)
+                except multiprocessing.TimeoutError:
+                    # compare against the CREATION-time baseline, not a
+                    # dispatch-time snapshot: a worker killed before this
+                    # map was dispatched has already been pid-swapped by
+                    # the Pool's maintenance thread, and the replacement
+                    # inherits the same wedged queues
+                    alive = {p.pid for p in self._pool._pool
+                             if p.is_alive()}
+                    if alive != self._pool_pids:
+                        logging.getLogger(__name__).warning(
+                            "loader worker died mid-epoch (attempt %d) - "
+                            "rebuilding the process pool and re-running "
+                            "the batch", attempt + 1)
+                        self.close()
+                        self._ensure_pool()
+                        break  # next attempt re-dispatches on a fresh pool
+        raise RuntimeError(
+            "loader process workers keep dying; giving up after 3 pool "
+            "rebuilds (is dataset.get crashing its worker?)")
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         mat = self.step_indices()

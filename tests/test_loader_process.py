@@ -111,6 +111,43 @@ def test_respawned_worker_rebinds_its_own_pools_dataset():
         b.close()
 
 
+def test_worker_killed_mid_map_recovers():
+    """A worker SIGKILLed while a map is in flight (the OOM-killer case)
+    loses its tasks and can leave the pool's shared queues locked; the
+    loader must rebuild the pool and re-run the batch, not hang."""
+    import os
+    import signal
+    import time
+
+    class _SlowDataset:
+        def __len__(self):
+            return 16
+
+        def get(self, idx, rng=None):
+            time.sleep(0.05)
+            return {"x": np.full((2,), float(idx), np.float32)}
+
+    loader = DataLoader(_SlowDataset(), batch_size=16, shuffle=False,
+                        num_workers=2, worker_type="process", prefetch=1)
+    try:
+        victim = loader._pool._pool[0].pid
+        import threading
+
+        def assassin():
+            time.sleep(0.15)  # mid-map: 16 samples x 50 ms / 2 workers
+            os.kill(victim, signal.SIGKILL)
+
+        t = threading.Thread(target=assassin)
+        t.start()
+        batches = list(loader)
+        t.join()
+        assert len(batches) == 1
+        np.testing.assert_array_equal(
+            batches[0]["x"][:, 0], np.arange(16, dtype=np.float32))
+    finally:
+        loader.close()
+
+
 def test_invalid_worker_type_raises():
     with pytest.raises(ValueError, match="worker_type"):
         DataLoader(_ConstDataset(0.0), batch_size=2, worker_type="proces")
