@@ -31,6 +31,7 @@ import math
 import multiprocessing
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
@@ -153,6 +154,7 @@ class DataLoader:
         local_shards: Optional[int] = None,
         rng_salt: int = 0,
         worker_type: str = "thread",
+        map_timeout: float = 120.0,
     ):
         if worker_type not in ("thread", "process"):
             raise ValueError(
@@ -172,6 +174,11 @@ class DataLoader:
         self.local_shards = local_shards if local_shards is not None else num_shards
         self.rng_salt = rng_salt
         self.worker_type = worker_type
+        # per-attempt ceiling for one process-pool map: a batch taking
+        # longer than this with zero worker deaths is treated as a wedged
+        # pool (see _process_map); re-running is free (pure draws), so a
+        # false positive on a genuinely slow batch only costs time
+        self.map_timeout = map_timeout
         self.epoch = 0
         self._pool = None
         self._pool_kind = None
@@ -294,9 +301,11 @@ class DataLoader:
         rebuild the pool from scratch and re-run the whole map, which is
         safe because every draw is a pure function of its args."""
         chunk = max(1, len(args) // (2 * self.num_workers))
+        log = logging.getLogger(__name__)
         for attempt in range(3):
             result = self._pool.map_async(_worker_fetch, args,
                                           chunksize=chunk)
+            deadline = time.monotonic() + self.map_timeout
             while True:
                 try:
                     return result.get(timeout=0.2)
@@ -309,13 +318,28 @@ class DataLoader:
                     alive = {p.pid for p in self._pool._pool
                              if p.is_alive()}
                     if alive != self._pool_pids:
-                        logging.getLogger(__name__).warning(
+                        log.warning(
                             "loader worker died mid-epoch (attempt %d) - "
                             "rebuilding the process pool and re-running "
                             "the batch", attempt + 1)
                         self.close()
                         self._ensure_pool()
                         break  # next attempt re-dispatches on a fresh pool
+                    if time.monotonic() > deadline:
+                        # escape hatch for a wedge the pid check cannot
+                        # see: rebuilding re-forks from a by-now
+                        # multithreaded parent, and a child that inherited
+                        # a held lock deadlocks WITHOUT dying - no pid
+                        # swap, no result, forever. Rather than hang the
+                        # step loop, declare the attempt dead.
+                        log.warning(
+                            "loader map produced nothing for %.0f s with "
+                            "all workers nominally alive (attempt %d) - "
+                            "rebuilding the pool", self.map_timeout,
+                            attempt + 1)
+                        self.close()
+                        self._ensure_pool()
+                        break
         raise RuntimeError(
             "loader process workers keep dying; giving up after 3 pool "
             "rebuilds (is dataset.get crashing its worker?)")

@@ -94,8 +94,13 @@ def _kernel(starts_ref, x_ref, pos_ref, o_ref, *, span: int):
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (span, pos.shape[1]), 0)
     onehot = ((s_iota == local).astype(jnp.float32) * (1.0 - w)
               + (s_iota == local + 1).astype(jnp.float32) * w)
+    # HIGHEST precision: the MXU's default single-pass bf16 would round
+    # the signal values (and lerp weights), quietly de-exacting the
+    # w==0 paths (shift, labels) that must be bit-copies; the matmul is
+    # tiny (span x block_j per tile), so the multi-pass cost is noise
     out = jnp.dot(xs.astype(jnp.float32), onehot,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 

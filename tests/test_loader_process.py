@@ -148,6 +148,38 @@ def test_worker_killed_mid_map_recovers():
         loader.close()
 
 
+def test_wedged_alive_worker_hits_map_timeout(tmp_path):
+    """A worker that wedges WITHOUT dying (e.g. a lock inherited across a
+    fork) produces no pid swap — the map_timeout escape hatch must
+    rebuild the pool instead of hanging the step loop forever."""
+    import time
+
+    sentinel = tmp_path / "already_wedged_once"
+
+    class _WedgeOnce:
+        def __len__(self):
+            return 8
+
+        def get(self, idx, rng=None):
+            if idx == 3 and not sentinel.exists():
+                sentinel.write_text("x")
+                time.sleep(60)  # far past map_timeout; killed by rebuild
+            return {"x": np.full((2,), float(idx), np.float32)}
+
+    loader = DataLoader(_WedgeOnce(), batch_size=8, shuffle=False,
+                        num_workers=2, worker_type="process", prefetch=1,
+                        map_timeout=1.0)
+    try:
+        t0 = time.monotonic()
+        batches = list(loader)
+        assert time.monotonic() - t0 < 30  # rebuilt, not hung
+        assert len(batches) == 1
+        np.testing.assert_array_equal(
+            batches[0]["x"][:, 0], np.arange(8, dtype=np.float32))
+    finally:
+        loader.close()
+
+
 def test_invalid_worker_type_raises():
     with pytest.raises(ValueError, match="worker_type"):
         DataLoader(_ConstDataset(0.0), batch_size=2, worker_type="proces")

@@ -82,17 +82,28 @@ def main():
 
         key = jax.random.PRNGKey(0)
         row = {}
-        for name, fn, a in [("xla_gather_us", xla, (x, pos)),
-                            ("pallas_gather_us", kernel, (x, pos))]:
-            s, barrier = _time(fn, a, args.calls)
-            row[name] = round(s * 1e6, 1)
-        for impl in ("xla", "pallas" if not interpret else "interpret"):
-            gather1d.GATHER_IMPL = impl
-            s, barrier = _time(rrc, (key, x, y), args.calls)
-            row[f"rrc_{impl}_us"] = round(s * 1e6, 1)
-        gather1d.GATHER_IMPL = "auto"
+        barriers = {}
+        try:
+            for name, fn, a in [("xla_gather_us", xla, (x, pos)),
+                                ("pallas_gather_us", kernel, (x, pos))]:
+                s, barriers[name] = _time(fn, a, args.calls)
+                row[name] = round(s * 1e6, 1)
+            for impl in ("xla", "pallas" if not interpret else "interpret"):
+                gather1d.GATHER_IMPL = impl
+                s, barriers[f"rrc_{impl}"] = _time(rrc, (key, x, y),
+                                                   args.calls)
+                row[f"rrc_{impl}_us"] = round(s * 1e6, 1)
+        finally:
+            gather1d.GATHER_IMPL = "auto"
         row["speedup"] = round(row["xla_gather_us"]
                                / max(row["pallas_gather_us"], 1e-9), 2)
+        # one barrier label per batch row; a mid-run degradation to
+        # block_until_ready (wedged D2H) must not be masked by the last
+        # measurement's mode
+        modes = set(barriers.values())
+        row["barrier"] = (modes.pop() if len(modes) == 1
+                          else "mixed:" + ",".join(
+                              f"{k}={v}" for k, v in sorted(barriers.items())))
         rows[f"batch{b}"] = row
         print(f"# batch {b}: {row}", file=sys.stderr)
 
@@ -101,7 +112,6 @@ def main():
         "device_kind": jax.devices()[0].device_kind,
         "length": t,
         "rows": rows,
-        "barrier": barrier,
         "link": link,
     }))
 
