@@ -211,12 +211,15 @@ def _make_noise_op(kind: str, partial: bool, kwargs: Dict[str, Any],
             if kind != "white":
                 # reference writes noise[:, :count] into the span — the
                 # waveform restarts at phase 0 there; white noise is
-                # shift-invariant so only deterministic waves need the roll
+                # shift-invariant so only deterministic waves need the
+                # roll. The circular map (j - start) % t is two monotone
+                # segments; over a doubled waveform it is ONE monotone
+                # slope-1 map (j - start + t), so the Pallas gather
+                # kernel covers it too.
                 j = jnp.arange(t)[None, :]
-                shifted = (j - start[:, None]) % t
-                n = jnp.take_along_axis(
-                    n, jnp.broadcast_to(shifted[:, None, :], (b, c, t)),
-                    axis=2)
+                pos = (j - start[:, None] + t).astype(jnp.float32)
+                n = monotonic_gather(jnp.concatenate([n, n], axis=2), pos,
+                                     max_slope=1.0)
             n = n * mask[:, None, :]
         return x + n
 

@@ -128,6 +128,21 @@ def test_mesh_shard_map_path(interpret_impl):
         mesh_mod.set_current_mesh(prev)
 
 
+def test_partial_wave_noise_roll_kernel_vs_xla(interpret_impl, monkeypatch):
+    """The partial sine/square noise phase roll is a circular gather —
+    covered by the monotone kernel via a doubled waveform."""
+    rng = np.random.default_rng(8)
+    op = preprocess._make_device_op("partial_sine_noise",
+                                    {"ratio": 0.5, "amplitude": 1.0,
+                                     "freq": 0.25})
+    x = jnp.asarray(rng.standard_normal((4, 2, 2500)).astype(np.float32))
+    key = jax.random.PRNGKey(2)
+    xk, _ = op.apply(key, x, None)
+    monkeypatch.setattr(gather1d, "GATHER_IMPL", "xla")
+    xr, _ = op.apply(key, x, None)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xr), atol=2e-6)
+
+
 def test_shift_op_kernel_vs_xla(interpret_impl, monkeypatch):
     rng = np.random.default_rng(6)
     op = preprocess._make_device_op("shift", {"mask_ratio": 0.3})
