@@ -370,5 +370,47 @@ def main(steps: int = 100) -> None:
     }))
 
 
+def _main_with_watchdog(steps: int, deadline_s: float) -> None:
+    """Run :func:`main` under a global deadline.
+
+    A fully wedged tunnel can hang *device enumeration itself* (observed:
+    ``jax.devices()`` not returning for hours, NOTES.md) — none of the
+    in-bench probes can fire if the backend never comes up. The watchdog
+    guarantees the driver records a self-flagging JSON line instead of an
+    absent one. ``os._exit`` is required: the worker thread is stuck in
+    an uninterruptible extension call."""
+    import threading
+
+    done = threading.Event()
+    failure: list = []
+
+    def work():
+        try:
+            main(steps=steps)
+        except BaseException as e:  # noqa: BLE001 - report, don't swallow
+            failure.append(e)
+        finally:
+            done.set()
+
+    threading.Thread(target=work, daemon=True).start()
+    if not done.wait(deadline_s):
+        print(json.dumps({
+            "metric": "fixmatch_resnet18_train_samples_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "samples/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"benchmark did not complete within {deadline_s:.0f}s "
+                     "(device backend wedged?)",
+            "link": {"healthy": False},
+            "baseline": BASELINE_PROVENANCE,
+        }), flush=True)
+        os._exit(0)
+    if failure:
+        raise failure[0]
+
+
 if __name__ == "__main__":
-    main(steps=int(os.environ.get("BENCH_STEPS", "100")))
+    _main_with_watchdog(
+        steps=int(os.environ.get("BENCH_STEPS", "100")),
+        deadline_s=float(os.environ.get("BENCH_DEADLINE_S", "1500")),
+    )

@@ -9,6 +9,7 @@ behaviors that keep it alive through a degraded remote-TPU link
   ``block_until_ready`` under a timeout instead of hanging the bench.
 """
 
+import os
 import threading
 import time
 
@@ -118,3 +119,26 @@ def test_mid_trial_degrade_cannot_go_negative(monkeypatch):
     # the corrupted trial's diff would have been ~ -(0.2 - 5ms) < 0; the
     # re-run clean trial is ~5 x 1 ms
     assert dt < 0.15
+
+
+def test_watchdog_emits_flagged_json_when_bench_hangs():
+    """A fully wedged tunnel hangs jax.devices() itself; the driver must
+    still receive one self-flagging JSON line (subprocess: the watchdog
+    path ends in os._exit)."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import time, bench\n"
+        "bench.main = lambda steps: time.sleep(60)\n"
+        "bench._main_with_watchdog(1, 0.5)\n"
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=60, cwd=repo_root)
+    assert out.returncode == 0
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["value"] == 0.0
+    assert "error" in line
+    assert line["link"]["healthy"] is False
