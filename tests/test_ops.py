@@ -4,6 +4,7 @@ semantics."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from semi_seg_ecg_tpu.ops.interpolate import linear_interpolate
@@ -200,3 +201,53 @@ def test_build_metric_fn_and_best(rng):
         build_metric_fn({**cfg, "target_metrics": ["NotAMetric"]})
     with pytest.raises(AssertionError):
         build_metric_fn({**cfg, "task": "classification"})
+
+
+class TestMaxPoolK3S2:
+    """ops/pooling.py: the select-and-scatter-free maxpool VJP must be
+    bit-exact against jax.grad of nn.max_pool, including first-max tie
+    routing (XLA's GE-select semantics)."""
+
+    def _grads(self, x):
+        import flax.linen as nn
+
+        from semi_seg_ecg_tpu.ops.pooling import max_pool_k3s2
+
+        ref_fn = lambda v: jnp.sum(
+            nn.max_pool(v, (3,), strides=(2,), padding=[(1, 1)]) ** 2)
+        new_fn = lambda v: jnp.sum(max_pool_k3s2(v) ** 2)
+        return jax.grad(ref_fn)(x), jax.grad(new_fn)(x)
+
+    @pytest.mark.parametrize("t", [8, 9, 2500])
+    def test_bit_exact_random(self, t):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, t, 4)).astype(np.float32))
+        ref, new = self._grads(x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+
+    def test_bit_exact_with_ties(self):
+        # quantize to force equal neighbours inside windows — the tie
+        # must route to the FIRST maximal element, like XLA's GE select
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.integers(-2, 3, (3, 40, 2)).astype(np.float32))
+        ref, new = self._grads(x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+
+    def test_forward_matches(self):
+        import flax.linen as nn
+
+        from semi_seg_ecg_tpu.ops.pooling import max_pool_k3s2
+
+        x = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (2, 31, 3)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_k3s2(x)),
+            np.asarray(nn.max_pool(x, (3,), strides=(2,),
+                                   padding=[(1, 1)])))
+
+    def test_bf16(self):
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (2, 64, 4))).astype(jnp.bfloat16)
+        ref, new = self._grads(x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
