@@ -107,3 +107,21 @@ def test_profile_schedule(tmp_path):
 def test_device_memory_stat():
     mem = device_memory_mb()
     assert mem is None or mem >= 0
+
+
+def test_doctor_cpu_smoke():
+    """tools/doctor.py must terminate and emit a machine-readable report
+    (its whole contract is 'never hangs')."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "doctor.py"), "--cpu"],
+        capture_output=True, text=True, timeout=180, cwd=repo)
+    assert out.returncode == 0
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["backend"]["status"] == "up"
+    assert report["libs"]["libecgdata.so"] is True
+    assert all(report["vmem_guards"].values())
