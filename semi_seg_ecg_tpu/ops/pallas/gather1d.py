@@ -39,6 +39,7 @@ network, outside the differentiated region.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,8 +54,9 @@ _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 # module knob (tests/benchmarks): "auto" uses the kernel on TPU backends,
 # "xla" forces the jnp fallback, "pallas" forces the kernel, "interpret"
-# forces the kernel in interpreter mode (CPU-exercisable)
-GATHER_IMPL = "auto"
+# forces the kernel in interpreter mode (CPU-exercisable). The env var is
+# the no-code-edit escape hatch for hardware/Mosaic trouble in the field.
+GATHER_IMPL = os.environ.get("ECG_GATHER_IMPL", "auto")
 
 
 def _round_up(x: int, m: int) -> int:
