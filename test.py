@@ -4,15 +4,7 @@
 
 import sys
 
-from semi_seg_ecg_tpu.algorithms import get_algorithm
-from semi_seg_ecg_tpu.config import parse_eval_args
-
-
-def main(argv=None):
-    config = parse_eval_args(argv, prog="ECG segmentation test")
-    algo = get_algorithm(config.get("algorithm"))
-    algo.test(config)
-
+from semi_seg_ecg_tpu.cli import test_main as main
 
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -9,20 +9,11 @@ the registry and optionally runs the test pass afterwards
 
 import sys
 
-from semi_seg_ecg_tpu.algorithms import get_algorithm
-from semi_seg_ecg_tpu.config import parse_train_args
+from semi_seg_ecg_tpu.cli import train_main as main
 
-
-def main(argv=None):
-    config = parse_train_args(argv)
-    algo = get_algorithm(config.get("algorithm"))
-    algo.train(config)
-    if config.get("test", False):
-        # unlike the reference (which collapses to one process,
-        # src/train.py:87-90), the test pass is a sharded collective — every
-        # process participates; file writes stay rank-0-only inside run_test
-        algo.test(config)
-
+# note vs the reference: its post-train test collapses to one process
+# (src/train.py:87-90); ours is a sharded collective — every process
+# participates, file writes stay rank-0-only (see semi_seg_ecg_tpu/cli.py)
 
 if __name__ == "__main__":
     main(sys.argv[1:])
