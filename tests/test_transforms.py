@@ -243,3 +243,33 @@ def test_resample_joint_with_labels(rng):
     assert xo.shape == (1, 50) and yo.shape == (1, 50)
     assert yo.dtype == y.dtype
     assert set(np.unique(yo)) <= set(np.unique(y))
+
+
+def test_pipeline_without_native_lib(monkeypatch):
+    """The pure-Python wheel ships no libecgdata.so; every native-kernel
+    consumer must fall back to scipy and produce the SAME output."""
+    from semi_seg_ecg_tpu.data import native
+    from semi_seg_ecg_tpu.data.transforms import (
+        Compose, get_transforms_from_config,
+    )
+
+    cfg = [
+        {"highpass_filter": {"fs": 250, "cutoff": 0.67}},
+        {"lowpass_filter": {"fs": 250, "cutoff": 40}},
+        {"standardize": {"axis": [-1, -2]}},
+    ]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 2500)).astype(np.float64)
+
+    with_native = np.asarray(Compose(get_transforms_from_config(cfg))(
+        x.copy(), rng=np.random.default_rng(1)))
+
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    assert not native.available()
+    without = np.asarray(Compose(get_transforms_from_config(cfg))(
+        x.copy(), rng=np.random.default_rng(1)))
+
+    # the native path is parity-tested to ~fp tolerance elsewhere; here the
+    # contract is the fallback exists and agrees
+    np.testing.assert_allclose(without, with_native, atol=1e-10)
