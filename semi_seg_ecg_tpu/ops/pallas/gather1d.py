@@ -171,6 +171,10 @@ def monotonic_gather(x: jnp.ndarray, pos: jnp.ndarray, *, max_slope: float,
     {"pallas", "interpret"}), the jnp formulation otherwise.
     """
     impl = GATHER_IMPL
+    if impl not in ("auto", "xla", "pallas", "interpret"):
+        raise ValueError(
+            f"unknown gather impl {impl!r} (GATHER_IMPL / ECG_GATHER_IMPL "
+            "must be one of: auto, xla, pallas, interpret)")
     if impl == "auto":
         b, c, t = x.shape
         on_tpu = jax.default_backend() == "tpu"

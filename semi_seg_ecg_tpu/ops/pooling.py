@@ -59,7 +59,9 @@ def _strided_views(x_p, t_out):
 def _mp_bwd(x, g):
     b_, t, c_ = x.shape
     t_out = (t + 1) // 2  # floor((t + 2*pad - k) / s) + 1 for k3 s2 p1
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+    # pad with -inf, nn.max_pool's own identity: finfo.min would TIE with
+    # a real finfo.min element and steal its gradient into the pad
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) \
         else jnp.iinfo(x.dtype).min
     x_p = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), constant_values=neg)
     a, b, c = _strided_views(x_p, t_out)

@@ -138,6 +138,11 @@ def _uniform_span(key, b: int, t: int, ratio: float):
     Returns (mask(B,T) float, start(B,), count(B,))."""
     k1, k2 = jax.random.split(key)
     count = (jax.random.uniform(k1, (b,)) * ratio * t).astype(jnp.int32)
+    # ratio > 1 would make count > t and start negative (the reference's
+    # np.random.randint would raise there); clamp so every span consumer —
+    # including the doubled-waveform roll's position arithmetic — stays
+    # in-bounds for any configured ratio
+    count = jnp.minimum(count, t)
     start = (jax.random.uniform(k2, (b,))
              * (t - count).astype(jnp.float32)).astype(jnp.int32)
     j = jnp.arange(t)

@@ -123,5 +123,9 @@ def test_doctor_cpu_smoke():
     assert out.returncode == 0
     report = json.loads(out.stdout.strip().splitlines()[-1])
     assert report["backend"]["status"] == "up"
-    assert report["libs"]["libecgdata.so"] is True
+    # the native lib is optional (pure-Python wheel); doctor reports it
+    # truthfully either way
+    from semi_seg_ecg_tpu.data import native
+
+    assert report["libs"]["libecgdata.so"] == native.available()
     assert all(report["vmem_guards"].values())

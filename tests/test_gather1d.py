@@ -143,6 +143,25 @@ def test_partial_wave_noise_roll_kernel_vs_xla(interpret_impl, monkeypatch):
     np.testing.assert_allclose(np.asarray(xk), np.asarray(xr), atol=2e-6)
 
 
+def test_partial_noise_ratio_above_one_stays_finite():
+    """ratio > 1 clamps the span to the whole signal instead of driving
+    the roll positions out of bounds (NaN fill on the XLA path, dropped
+    mass on the Pallas path)."""
+    rng = np.random.default_rng(9)
+    op = preprocess._make_device_op("partial_sine_noise", {"ratio": 1.5})
+    x = jnp.asarray(rng.standard_normal((3, 1, 500)).astype(np.float32))
+    out, _ = op.apply(jax.random.PRNGKey(3), x, None)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unknown_gather_impl_raises(monkeypatch):
+    monkeypatch.setattr(gather1d, "GATHER_IMPL", "XLA")  # typo'd case
+    x = jnp.zeros((1, 1, 128))
+    pos = jnp.zeros((1, 128))
+    with pytest.raises(ValueError, match="unknown gather impl"):
+        gather1d.monotonic_gather(x, pos, max_slope=1.0)
+
+
 def test_shift_op_kernel_vs_xla(interpret_impl, monkeypatch):
     rng = np.random.default_rng(6)
     op = preprocess._make_device_op("shift", {"mask_ratio": 0.3})

@@ -251,3 +251,11 @@ class TestMaxPoolK3S2:
             (2, 64, 4))).astype(jnp.bfloat16)
         ref, new = self._grads(x)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+
+    def test_finfo_min_values_do_not_tie_with_padding(self):
+        # the pad identity must be -inf: a real finfo.min element would
+        # tie with a finfo.min pad and lose its gradient into the pad
+        lo = jnp.finfo(jnp.float32).min
+        x = jnp.full((1, 6, 1), lo, jnp.float32)
+        ref, new = self._grads(x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))

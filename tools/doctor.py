@@ -79,7 +79,9 @@ def main():
 
         # 2. link health (H2D / dispatch / D2H) ------------------------
         if not args.cpu:
-            from bench import probe_link
+            # share bench.py's probe AND its health thresholds, so the two
+            # tools can never disagree on what "degraded" means
+            from bench import _D2H_HEALTHY_MBPS, probe_link
 
             link, err = _bounded(probe_link, args.deadline)
             if link is None:
@@ -92,7 +94,7 @@ def main():
                         f"OK link healthy: dispatch {link['dispatch_ms']} "
                         f"ms, D2H {link['d2h_mbps']} MB/s, H2D "
                         f"{link['h2d_mbps']} MB/s")
-                elif link["d2h_mbps"] <= 1.0:
+                elif link["d2h_mbps"] <= _D2H_HEALTHY_MBPS:
                     notes.append(
                         f"WARN D2H collapsed ({link['d2h_mbps']} MB/s): "
                         "eval/checkpoint fetches will crawl; compute-only "
