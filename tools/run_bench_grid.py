@@ -74,7 +74,16 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="substitute a synthetic dataset for every cell "
                          "(self-contained demo / CI)")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force an N-device CPU mesh (link-independent "
+                         "smoke sweeps; same knob as validate_ssl)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+        jax.config.update("jax_platforms", "cpu")
 
     synthetic_data = None
     if args.synthetic:
