@@ -88,7 +88,7 @@ def fits_vmem(c: int, t: int, block_j: int = DEFAULT_BLOCK_J,
 def _kernel(starts_ref, x_ref, pos_ref, o_ref, *, span: int):
     b, jt = pl.program_id(0), pl.program_id(1)
     st = pl.multiple_of(starts_ref[b, jt], 128)
-    pos = pos_ref[:, :]                            # (1, block_j) f32
+    pos = pos_ref[0, :, :]                         # (1, block_j) f32
     i0 = jnp.floor(pos).astype(jnp.int32)
     w = pos - i0.astype(jnp.float32)
     local = i0 - st                                # (1, block_j)
@@ -119,9 +119,12 @@ def _pallas_gather(x, pos, *, max_slope: float, block_j: int,
 
     x_p = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t)))
     # pad pos with its per-sample last value: keeps the padded tail
-    # monotone so tile spans stay bounded; padded outputs are sliced off
+    # monotone so tile spans stay bounded; padded outputs are sliced off.
+    # The singleton middle axis keeps Mosaic's block rule happy: the
+    # block's last-two dims (1, block_j) must each divide-or-equal the
+    # array's — a flat (1, block_j) block over (B, J) fails it for B > 1.
     pos = pos.astype(jnp.float32)
-    pos_p = jnp.pad(pos, ((0, 0), (0, j_pad - j)), mode="edge")
+    pos_p = jnp.pad(pos, ((0, 0), (0, j_pad - j)), mode="edge")[:, None, :]
 
     # per-(sample, tile) span start: tile-min i0, rounded down to the
     # 128-aligned lane boundary, clamped so st + span stays in bounds
@@ -134,7 +137,7 @@ def _pallas_gather(x, pos, *, max_slope: float, block_j: int,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, c, t_pad), lambda bi, ji, st: (bi, 0, 0)),
-            pl.BlockSpec((1, block_j), lambda bi, ji, st: (bi, ji)),
+            pl.BlockSpec((1, 1, block_j), lambda bi, ji, st: (bi, 0, ji)),
         ],
         out_specs=pl.BlockSpec((1, c, block_j),
                                lambda bi, ji, st: (bi, 0, ji)),
