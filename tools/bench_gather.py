@@ -13,6 +13,7 @@ JSON line. Run: ``python tools/bench_gather.py [--batch 16 256]``.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -90,7 +91,12 @@ def main():
                 row[name] = round(s * 1e6, 1)
             for impl in ("xla", "pallas" if not interpret else "interpret"):
                 gather1d.GATHER_IMPL = impl
-                s, barriers[f"rrc_{impl}"] = _time(rrc, (key, x, y),
+                # jax's tracing cache is keyed on function identity, not on
+                # the GATHER_IMPL global it closes over: re-jitting the same
+                # `rrc` object after flipping the knob silently reuses the
+                # previous impl's trace. A fresh wrapper defeats the cache.
+                rrc_fresh = functools.partial(rrc)
+                s, barriers[f"rrc_{impl}"] = _time(rrc_fresh, (key, x, y),
                                                    args.calls)
                 row[f"rrc_{impl}_us"] = round(s * 1e6, 1)
         finally:
