@@ -127,17 +127,37 @@ def main():
         # themselves.
         out = root if args.artifacts else None
         run_once(data_cfg, out, mode, 1, args.length, args.scan_steps)
-        short = run_once(data_cfg, out, mode, args.epochs, args.length,
-                         args.scan_steps)
-        long = run_once(data_cfg, out, mode, args.epochs + 4, args.length,
-                        args.scan_steps)
-        steady = (long - short) / 4
-        sps = steps_per_epoch * 16 / steady
-        results[mode] = round(sps, 1)
-        print(json.dumps({"mode": mode, "samples_per_sec": round(sps, 1),
-                          "sec_per_epoch": round(steady, 2)}), flush=True)
+        # slope over a 2-point fit: a degrading link can make the long run
+        # beat the short one (observed: negative throughput during a D2H
+        # wedge). Retry once on a non-positive or wildly unstable slope;
+        # report null rather than a nonsense number if it persists.
+        row = None
+        for attempt in range(2):
+            short = run_once(data_cfg, out, mode, args.epochs, args.length,
+                             args.scan_steps)
+            long = run_once(data_cfg, out, mode, args.epochs + 4,
+                            args.length, args.scan_steps)
+            steady = (long - short) / 4
+            if steady > 0:
+                row = {"samples_per_sec":
+                       round(steps_per_epoch * 16 / steady, 1),
+                       "sec_per_epoch": round(steady, 2)}
+                break
+            print(f"# {mode}: non-positive slope (short={short:.1f}s, "
+                  f"long={long:.1f}s) — link noise swamped the fit"
+                  + ("; retrying" if attempt == 0 else "; giving up"),
+                  file=sys.stderr, flush=True)
+        if row is None:
+            row = {"samples_per_sec": None, "sec_per_epoch": None,
+                   "error": "non-positive slope (link noise)"}
+        row["short_s"], row["long_s"] = round(short, 1), round(long, 1)
+        results[mode] = row["samples_per_sec"]
+        print(json.dumps({"mode": mode, **row}), flush=True)
+    # re-probe: the link state can change over a multi-minute sweep, and a
+    # table measured across a degradation is only quotable with both ends
     print(json.dumps({"metric": "fixmatch_e2e_samples_per_sec",
-                      "results": results, "link": link}))
+                      "results": results, "link_before": link,
+                      "link_after": probe_link()}))
     shutil.rmtree(root, ignore_errors=True)
 
 
