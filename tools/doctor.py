@@ -145,6 +145,13 @@ def main():
     for n in notes:
         print(n, file=sys.stderr)
     print(json.dumps(report))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # a timed-out probe leaves its daemon thread stuck inside the device
+    # client's C++ (that's the failure mode being diagnosed); normal
+    # interpreter teardown then aborts ("terminate called ... FATAL:
+    # exception not rethrown"). Skip teardown — the report is out.
+    os._exit(0)
 
 
 if __name__ == "__main__":
