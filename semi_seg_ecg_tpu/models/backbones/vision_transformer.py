@@ -147,7 +147,7 @@ class Attention(nn.Module):
             interpret = jax.default_backend() != "tpu"
             out = flash_attention(
                 q.astype(mm_dtype), k.astype(mm_dtype), v.astype(mm_dtype),
-                scale, 128, 128, interpret,
+                scale, None, None, interpret,  # blocks: pick_blocks(n, d)
             ).astype(self.dtype)
         else:
             logits = jnp.einsum(

@@ -6,8 +6,9 @@ SURVEY §5 long-context row). These kernels serve the *long-sequence* regime
 the ViT supports (small ``patch_size`` / long ``seq_len``): neither pass
 materialises the (N, N) score matrix.
 
-Measured on TPU v5e (n=2048, b=8, h=12, d=64, bf16): forward 3.1 ms vs
-XLA fused attention 7.96 ms.
+Measured on TPU v5e (n=2048, b=8, h=12, d=64, bf16, value-fetch-barrier
+slope timing, 512x512 blocks): forward 2.09 ms vs XLA fused attention
+6.95 ms (3.3x); fwd+bwd 6.23 ms vs 22.5 ms (3.6x).
 
 Design: one grid program per (batch·head); Q/K/V for that head stay
 resident in VMEM and the kernel streams q-blocks (forward) or recomputes
@@ -29,39 +30,84 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# Block size is the dominant performance lever: the same kernel at
+# (128, 128) ran 9.65 ms for the n=2048 benchmark shape vs 2.09 ms at
+# (512, 512) — 16x16=256 inner iterations of 128x128 matmuls leave the
+# MXU starved and pay the fori_loop bookkeeping 16x more often. Blocks
+# default to None = pick_blocks(): the largest square block that fits
+# the VMEM working-set estimate.
+DEFAULT_BLOCK_Q = None
+DEFAULT_BLOCK_K = None
 
-# the kernels keep one (batch, head)'s working set resident in VMEM;
-# stay well under the ~16 MB/core budget
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# one (batch, head)'s working set must stay resident in VMEM (~16 MB on
+# v5e). Calibrated against hardware: the flagship benchmark shape
+# (n=2048, d=64, 512x512 blocks) estimates 12.1 MB and runs clean;
+# leave the rest as Mosaic headroom (an overflow wedges the remote
+# tunnel for ~1 h, NOTES.md).
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# The BACKWARD kernel is the high-water mark: it keeps q, k, v, do plus
-# fp32 dq/dk/dv resident (7 full n_pad x d_pad buffers) alongside
-# lse/delta and block temporaries — size for 8 buffers, not the forward's
-# 4, or shapes that pass the guard can still overflow VMEM in training
-# (a VMEM overflow wedges the remote tunnel for ~1 h, NOTES.md).
-_RESIDENT_BUFFERS = 8
+def _workset_bytes(n_pad: int, d_pad: int, block_q: int,
+                   block_k: int) -> int:
+    """Backward-pass high-water VMEM estimate (the forward's is strictly
+    smaller): bf16 q/k/v/do resident + fp32 dq/dk/dv outputs + lse/delta
+    columns + per-block temporaries (s/p/dp/ds tiles, the col iota, and
+    the fp32 q/do slices)."""
+    resident = (4 * n_pad * d_pad * 2      # q, k, v, do (bf16)
+                + 3 * n_pad * d_pad * 4    # dq, dk, dv (fp32)
+                + 2 * n_pad * 4)           # lse, delta
+    temps = (6 * block_q * block_k * 4     # s/p/dp/ds + col mask tiles
+             + 2 * block_q * d_pad * 4)    # fp32 q, do block slices
+    return resident + temps
 
 
-def fits_vmem(n: int, d: int, block_q: int = DEFAULT_BLOCK_Q,
-              block_k: int = DEFAULT_BLOCK_K) -> bool:
+def pick_blocks(n: int, d: int):
+    """Largest square block (512 -> 256 -> 128) whose working set fits
+    VMEM, never padding ``n`` past a single block. Returns
+    ``(block_q, block_k)`` or None if even 128x128 does not fit."""
+    d_pad = _round_up(d, 128)
+    for b in (512, 256, 128):
+        if b > _round_up(n, 128):
+            continue
+        n_pad = _round_up(n, b)
+        if _workset_bytes(n_pad, d_pad, b, b) <= _VMEM_BUDGET_BYTES:
+            return b, b
+    return None
+
+
+def _resolve_blocks(n: int, d: int, block_q, block_k):
+    if block_q is not None and block_k is not None:
+        return block_q, block_k
+    picked = pick_blocks(n, d)
+    if picked is None:
+        raise ValueError(
+            f"flash_attention: no block size fits VMEM for n={n}, d={d}; "
+            "use the XLA attention path")
+    return (picked[0] if block_q is None else block_q,
+            picked[1] if block_k is None else block_k)
+
+
+def fits_vmem(n: int, d: int, block_q: int = None,
+              block_k: int = None) -> bool:
+    if block_q is None or block_k is None:
+        return pick_blocks(n, d) is not None
     n_pad = _round_up(n, max(block_q, block_k))
     d_pad = _round_up(d, 128)
-    return _RESIDENT_BUFFERS * n_pad * d_pad * 4 <= _VMEM_BUDGET_BYTES
+    return _workset_bytes(n_pad, d_pad, block_q, block_k) \
+        <= _VMEM_BUDGET_BYTES
 
 
-def _check_vmem(n_pad, d_pad, interpret):
-    if not interpret and (_RESIDENT_BUFFERS * n_pad * d_pad * 4
+def _check_vmem(n_pad, d_pad, block_q, block_k, interpret):
+    if not interpret and (_workset_bytes(n_pad, d_pad, block_q, block_k)
                           > _VMEM_BUDGET_BYTES):
         raise ValueError(
-            f"flash_attention working set (n_pad={n_pad}, d_pad={d_pad}) "
-            "exceeds the VMEM budget; use the XLA attention path"
+            f"flash_attention working set (n_pad={n_pad}, d_pad={d_pad}, "
+            f"blocks={block_q}x{block_k}) exceeds the VMEM budget; use "
+            "the XLA attention path"
         )
 
 
@@ -124,9 +170,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
     b, h, n, d = q.shape
+    block_q, block_k = _resolve_blocks(n, d, block_q, block_k)
     n_pad = _round_up(n, max(block_q, block_k))
     d_pad = _round_up(d, 128)
-    _check_vmem(n_pad, d_pad, interpret)
+    _check_vmem(n_pad, d_pad, block_q, block_k, interpret)
 
     qp = _pad4(q, n_pad, d_pad).reshape(b * h, n_pad, d_pad)
     kp = _pad4(k, n_pad, d_pad).reshape(b * h, n_pad, d_pad)
@@ -226,9 +273,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k,
                     interpret):
     b, h, n, d = q.shape
+    block_q, block_k = _resolve_blocks(n, d, block_q, block_k)
     n_pad = _round_up(n, max(block_q, block_k))
     d_pad = _round_up(d, 128)
-    _check_vmem(n_pad, d_pad, interpret)
+    _check_vmem(n_pad, d_pad, block_q, block_k, interpret)
 
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
