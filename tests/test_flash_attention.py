@@ -28,6 +28,55 @@ def test_flash_matches_reference(rng, n):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_auto_blocks_match_reference(rng):
+    """block_q/block_k=None resolves via pick_blocks (the TPU production
+    path after the 128-block mis-blocking fix) and stays correct,
+    forward and backward."""
+    q, k, v = _qkv(rng, b=1, h=2, n=640, d=32)
+    scale = 32**-0.5
+    ours = flash_attention(q, k, v, scale, None, None, True)
+    ref = _reference_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    g_auto = jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, scale, None, None, True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(_reference_attention(q, k, v, scale) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_auto, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_pick_blocks_properties():
+    from semi_seg_ecg_tpu.ops.pallas.flash_attention import (
+        _VMEM_BUDGET_BYTES,
+        _round_up,
+        _workset_bytes,
+        fits_vmem,
+        pick_blocks,
+    )
+
+    # flagship benchmark shape gets the big block and passes the guard
+    assert pick_blocks(2048, 64) == (512, 512)
+    assert fits_vmem(2048, 64)
+    # short sequences never pad past one block
+    bq, bk = pick_blocks(100, 64)
+    assert bq == bk == 128
+    # a wide head dim downshifts the block instead of overflowing
+    picked = pick_blocks(2048, 128)
+    assert picked is not None
+    bq, bk = picked
+    n_pad = _round_up(2048, max(bq, bk))
+    assert _workset_bytes(n_pad, 128, bq, bk) <= _VMEM_BUDGET_BYTES
+    # an impossible shape is rejected rather than guessed at
+    assert pick_blocks(1 << 20, 512) is None
+    assert not fits_vmem(1 << 20, 512)
+
+
 def test_flash_nontrivial_dim(rng):
     q, k, v = _qkv(rng, b=1, h=2, n=300, d=32)
     scale = 32**-0.5
