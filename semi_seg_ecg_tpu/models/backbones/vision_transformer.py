@@ -111,7 +111,9 @@ class Attention(nn.Module):
         if self.attention_impl == "flash":
             return True
         on_tpu = jax.default_backend() == "tpu"
-        return on_tpu and n >= 1024
+        # crossover swept on v5e (d=64, bf16): flash 1.25x at n=512,
+        # 2.8x at n=1024, loses below (0.47x at n=256)
+        return on_tpu and n >= 512
 
     @nn.compact
     def __call__(self, x, train: bool):

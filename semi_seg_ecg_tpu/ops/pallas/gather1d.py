@@ -46,7 +46,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_J = 128
+# hardware-swept (v5e, t=2500, slope 2.0): 256 runs the bare gather 2.9x
+# faster than 128 at batch 16 (39 vs 115 us) and ~4% faster at batch 256;
+# 512 loses both (the one-hot tile's FLOPs grow with span x block_j)
+DEFAULT_BLOCK_J = 256
 
 # per-program working set must stay far under the ~16 MB/core VMEM (an
 # overflow wedges the remote tunnel for ~1 h, NOTES.md)
