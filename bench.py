@@ -312,13 +312,14 @@ def main(steps: int = 100) -> None:
     n_chips = len(jax.devices())
     peak = _PEAK_BF16_FLOPS.get(kind)
 
-    def throughput(scan_k):
+    def throughput(scan_k, batch_per_replica=16):
         # each slope window needs enough *dispatches* that per-call link
         # noise averages out: steps//32 would give the scan mode only 3
         # calls per window, letting a noisy T(N) fetch swing the recorded
         # rate past the device-busy floor (round-3 finding)
         calls = max(steps // scan_k, 10)
-        compiled, state, run_batch, flops_call, global_batch = _build(scan_k)
+        compiled, state, run_batch, flops_call, global_batch = _build(
+            scan_k, batch_per_replica=batch_per_replica)
         dt, _, barrier = _measure(compiled, state, run_batch, calls)
         sps = calls * scan_k * global_batch / dt
         achieved = flops_call * calls / dt
@@ -354,6 +355,17 @@ def main(steps: int = 100) -> None:
     best = max(results, key=lambda r: r["samples_per_sec"])
     per_chip = best["samples_per_sec"] / n_chips
 
+    # auxiliary: the chip's best operating point is per-replica batch 64
+    # (tools/bench_scale.py sweep — MFU 0.67 vs 0.51 at the recipe's 16);
+    # record it alongside the recipe number so the peak is visible in the
+    # line of record. BENCH_PEAK=0 skips it.
+    peak_row = None
+    if os.environ.get("BENCH_PEAK", "1") != "0" and scan_env == 0:
+        sps, mfu, flops_step, barrier = throughput(32, batch_per_replica=64)
+        peak_row = {"batch_per_replica": 64, "mode": "scan32",
+                    "samples_per_sec_per_chip": round(sps / n_chips, 2),
+                    "mfu": mfu, "barrier": barrier}
+
     print(json.dumps({
         "metric": "fixmatch_resnet18_train_samples_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -366,6 +378,7 @@ def main(steps: int = 100) -> None:
         "device_kind": kind,
         "link": link,
         "all_modes": results if len(results) > 1 else None,
+        "peak": peak_row,
         "baseline": BASELINE_PROVENANCE,
     }))
 
