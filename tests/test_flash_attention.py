@@ -122,6 +122,25 @@ def test_attention_impl_flash_through_model(rng):
                                rtol=2e-4)
 
 
+def test_use_flash_auto_threshold(monkeypatch):
+    """'auto' dispatches to flash from n>=512 on TPU (hardware-swept
+    crossover), never on CPU, never when fits_vmem rejects."""
+    from semi_seg_ecg_tpu.models.backbones import vision_transformer as vt
+
+    attn = vt.Attention(64, heads=2, dim_head=64, attention_impl="auto")
+    monkeypatch.setattr(vt.jax, "default_backend", lambda: "tpu")
+    assert not attn._use_flash(256, train=True)
+    assert attn._use_flash(512, train=True)
+    assert attn._use_flash(2048, train=True)
+    monkeypatch.setattr(vt.jax, "default_backend", lambda: "cpu")
+    assert not attn._use_flash(2048, train=True)
+    # explicit 'flash' bypasses the threshold but not the VMEM guard
+    forced = vt.Attention(64, heads=2, dim_head=64, attention_impl="flash")
+    assert forced._use_flash(256, train=True)
+    huge = vt.Attention(64, heads=2, dim_head=512, attention_impl="flash")
+    assert not huge._use_flash(1 << 20, train=True)
+
+
 @pytest.fixture()
 def dp_tp_mesh():
     """(data=2, model=4) mesh registered as the current training mesh."""
