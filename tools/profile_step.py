@@ -46,7 +46,8 @@ def _rows_from_gviz(data):
     return rows
 
 
-def capture(steps: int, scan_k: int, logdir: str, augment: bool = False):
+def capture(steps: int, scan_k: int, logdir: str, augment: bool = False,
+            batch: int = 16):
     """Run the benchmark program under the profiler; returns wall s/step.
 
     ``augment`` composes the flagship device-side augmentation chain
@@ -58,7 +59,8 @@ def capture(steps: int, scan_k: int, logdir: str, augment: bool = False):
     from bench import _build  # the exact benchmarked program
 
     compiled, state, run_batch, _, _ = _build(max(scan_k, 1),
-                                              aot=not augment)
+                                              aot=not augment,
+                                              batch_per_replica=batch)
     if augment:
         assert scan_k <= 1, "--augment profiles the per-step program"
         from tools.gen_configs import flagship_data_recipe
@@ -73,7 +75,8 @@ def capture(steps: int, scan_k: int, logdir: str, augment: bool = False):
         from semi_seg_ecg_tpu.utils.optimizer import build_optimizer
         from __graft_entry__ import _flagship_config
 
-        config = _flagship_config(signal_length=2500, batch_per_replica=16)
+        config = _flagship_config(signal_length=2500,
+                                  batch_per_replica=batch)
         model = build_model_from_config(config, train=True)
         tx = build_optimizer(config, None, steps_per_epoch=1000, model=model)
         step = make_train_step(model, tx, config, 1000)
@@ -176,6 +179,9 @@ def main():
     ap.add_argument("--augment", action="store_true",
                     help="profile the cache-mode fused program (device "
                          "augmentation chain + train step)")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="per-replica batch (the bench_scale sweep showed "
+                         "a >=128 falloff — trace it at that size)")
     ap.add_argument("--tool", default="hlo_stats")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--out", default=None,
@@ -194,7 +200,8 @@ def main():
     logdir = args.out or tempfile.mkdtemp(prefix="jaxprof_")
     try:
         wall_per_step, calls = capture(args.steps, args.scan, logdir,
-                                       augment=args.augment)
+                                       augment=args.augment,
+                                       batch=args.batch)
         steps_traced = calls * max(args.scan, 1)
         label = (f"scan{args.scan}" if args.scan > 1
                  else "augment+step" if args.augment else "per-step")
