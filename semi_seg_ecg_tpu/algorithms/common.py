@@ -511,6 +511,21 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
     seed = config["seed"]
     dp = data_parallel_size(mesh)
 
+    from ..parallel.mesh import seq_parallel_size
+
+    if seq_parallel_size(mesh) > 1:
+        # the fused device-augment/cache paths gather along the time axis
+        # through data-axis-only shard_map wrappers (ops/pallas/gather1d);
+        # under sequence parallelism they would silently all-gather the
+        # sharded time axis every step — run them on the host instead
+        for knob in ("device_augment", "device_cache"):
+            if config["dataset"].get(knob, False):
+                log(f"{knob} disabled: seq_parallel shards the time axis "
+                    "and the fused augment path assumes data-only "
+                    "sharding — using the host augmentation path",
+                    force=True)
+                config["dataset"][knob] = False
+
     loaders = build_train_loaders(config, mesh, spec, unlabeled_subset_ids)
     steps_per_epoch = len(loaders["labeled"])
     assert steps_per_epoch > 0, "empty train loader"

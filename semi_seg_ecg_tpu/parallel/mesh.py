@@ -2,14 +2,25 @@
 
 The reference's only parallelism is DDP over NCCL (SURVEY §2 ⑬-⑭:
 torch DDP + SyncBN + DistributedSampler). Here the equivalent is a
-``jax.sharding.Mesh`` with a ``data`` axis plus a ``model`` axis stub for
-tensor parallelism:
+``jax.sharding.Mesh`` with a ``data`` axis plus ``seq`` and ``model``
+axes for sequence/tensor parallelism:
 
-- batches are sharded ``P('data')`` on their leading axis;
+- batches are sharded ``P('data')`` on their leading axis (plus ``seq``
+  on the trailing time axis when ``parallel.seq_parallel > 1``);
 - parameters are replicated (or sharded on ``model`` where a rule matches);
 - gradient all-reduce, SyncBN statistics, and eval gathers all come out of
   GSPMD partitioning of the jitted step — no hand-written collectives on the
   data path, so everything rides ICI at XLA's schedule.
+
+Sequence parallelism (``parallel.seq_parallel``) shards the *time* axis
+of every batch array across the ``seq`` mesh axis and lets GSPMD
+spatially partition the 1-D convolutions (halo exchange via
+collective-permute) — per-device activation memory drops by the seq
+factor, which is what makes Holter-scale records (minutes-to-hours of
+signal, T ≫ 10^5) trainable/servable at all: batch-axis sharding cannot
+cut the per-sample activation footprint, time-axis sharding can. BN
+statistics and loss means reduce over (batch, time), so the same GSPMD
+partitioning that gives SyncBN over ``data`` gives it over ``seq``.
 
 Multi-host: each process passes its ``jax.local_devices()`` contribution;
 ``shard_batch`` forms the global array from per-host shards
@@ -25,6 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 # the most recently built training mesh; mesh-aware ops (e.g. the Pallas
@@ -46,12 +58,14 @@ def make_mesh(
     config: Optional[Dict[str, Any]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh over all (or given) devices.
+    """Build a ``(data, seq, model)`` mesh over all (or given) devices.
 
     ``config['parallel']['model_parallel']`` (default 1) splits off a model
-    axis; the remaining devices form the data axis. With the shipped configs
-    this is a pure data-parallel mesh — the reference's DDP capability — but
-    the model axis is first-class so TP shardings compile today.
+    axis, ``config['parallel']['seq_parallel']`` (default 1) a sequence
+    axis; the remaining devices form the data axis. With the shipped
+    configs this is a pure data-parallel mesh — the reference's DDP
+    capability — but the extra axes are first-class so TP/SP shardings
+    compile today.
 
     The built mesh is registered as the process-wide *current mesh*
     (:func:`get_current_mesh`), which mesh-aware ops consult at trace time.
@@ -62,19 +76,28 @@ def make_mesh(
     before tracing computations for each.
     """
     devices = list(devices if devices is not None else jax.devices())
-    model = 1
+    model, seq = 1, 1
     if config is not None:
-        model = int(config.get("parallel", {}).get("model_parallel", 1) or 1)
+        par = config.get("parallel", {}) or {}
+        model = int(par.get("model_parallel", 1) or 1)
+        seq = int(par.get("seq_parallel", 1) or 1)
     n = len(devices)
-    assert n % model == 0, f"{n} devices not divisible by model_parallel={model}"
-    dev_array = np.asarray(devices).reshape(n // model, model)
-    mesh = Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    assert n % (model * seq) == 0, (
+        f"{n} devices not divisible by model_parallel={model} "
+        f"x seq_parallel={seq}")
+    dev_array = np.asarray(devices).reshape(n // (model * seq), seq, model)
+    mesh = Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     set_current_mesh(mesh)
     return mesh
 
 
 def data_parallel_size(mesh: Mesh) -> int:
     return mesh.shape[DATA_AXIS]
+
+
+def seq_parallel_size(mesh: Mesh) -> int:
+    """Size of the ``seq`` axis; 1 for meshes built without one."""
+    return dict(mesh.shape).get(SEQ_AXIS, 1)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -91,27 +114,40 @@ def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, DATA_AXIS))
 
 
+def _array_sharding(mesh: Mesh, arr, base: Sequence) -> NamedSharding:
+    """Per-array batch spec: ``base`` entries (leading dims), plus the
+    ``seq`` axis on the trailing time dim when the mesh has one and the
+    dim divides evenly. 1-D arrays (ids, cache indices) and ragged
+    trailing dims stay seq-replicated — correct, just not time-sharded."""
+    sq = seq_parallel_size(mesh)
+    ndim = getattr(arr, "ndim", 0)
+    if sq > 1 and ndim > len(base) and arr.shape[-1] % sq == 0:
+        entries = list(base) + [None] * (ndim - len(base))
+        entries[-1] = SEQ_AXIS
+        return NamedSharding(mesh, P(*entries))
+    return NamedSharding(mesh, P(*base))
+
+
 def shard_stacked_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
-    sharding = stacked_batch_sharding(mesh)
-    if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
-    return {
-        k: jax.make_array_from_process_local_data(sharding, v)
-        for k, v in batch.items()
-    }
+    return _place(mesh, batch, (None, DATA_AXIS))
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
-    """Place a host batch dict onto the mesh, sharded over ``data``.
+    """Place a host batch dict onto the mesh, sharded over ``data`` (and
+    ``seq`` on the time axis under sequence parallelism).
 
     Single-process: a plain ``device_put`` with a NamedSharding (the loader
     already emits replica-major batches). Multi-process: assembles the
     global array from each host's local shard.
     """
-    sharding = batch_sharding(mesh)
+    return _place(mesh, batch, (DATA_AXIS,))
+
+
+def _place(mesh: Mesh, batch: Dict[str, np.ndarray], base: Sequence):
+    shardings = {k: _array_sharding(mesh, v, base) for k, v in batch.items()}
     if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
+        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
     return {
-        k: jax.make_array_from_process_local_data(sharding, v)
+        k: jax.make_array_from_process_local_data(shardings[k], v)
         for k, v in batch.items()
     }

@@ -12,6 +12,7 @@ from semi_seg_ecg_tpu.parallel.mesh import (
     data_parallel_size,
     make_mesh,
     replicated,
+    seq_parallel_size,
     shard_batch,
 )
 
@@ -66,10 +67,15 @@ def _setup(devices):
 def test_mesh_shapes():
     mesh = make_mesh(devices=jax.devices())
     assert data_parallel_size(mesh) == len(jax.devices())
+    assert seq_parallel_size(mesh) == 1
     mesh2 = make_mesh({"parallel": {"model_parallel": 2}},
                       devices=jax.devices())
     assert mesh2.shape["model"] == 2
     assert data_parallel_size(mesh2) == len(jax.devices()) // 2
+    mesh3 = make_mesh({"parallel": {"seq_parallel": 2}},
+                      devices=jax.devices())
+    assert seq_parallel_size(mesh3) == 2
+    assert data_parallel_size(mesh3) == len(jax.devices()) // 2
 
 
 def test_sharded_step_equals_single_device_step(rng):
@@ -164,6 +170,80 @@ def test_tensor_parallel_vit_step_matches_dp(rng):
                     jax.tree.leaves(st_dp.model.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-5)
+
+
+def test_seq_parallel_step_equals_single_device(rng):
+    """(data=4, seq=2) mesh: sharding the *time* axis spatially partitions
+    the 1-D convolutions (GSPMD halo exchange) and must reproduce the
+    single-device update — the capability that makes Holter-scale records
+    (T >> 10^5) trainable at all, since batch sharding cannot cut the
+    per-sample activation footprint."""
+    global_batch = 8
+    t = 256
+    batch = {
+        "ecg": rng.standard_normal((global_batch, 1, t)).astype(np.float32),
+        "target": rng.integers(0, 4, (global_batch, t)),
+    }
+
+    cfg_sp = _tiny_config()
+    cfg_sp["parallel"] = {"model_parallel": 1, "seq_parallel": 2}
+    from semi_seg_ecg_tpu.algorithms.base import SPEC, make_train_step
+    from semi_seg_ecg_tpu.algorithms.common import build_state
+    from semi_seg_ecg_tpu.models import build_model_from_config
+    from semi_seg_ecg_tpu.utils.optimizer import build_optimizer
+
+    mesh = make_mesh(cfg_sp, devices=jax.devices()[:8])
+    model = build_model_from_config(cfg_sp, train=True)
+    tx = build_optimizer(cfg_sp, None, 10, model=model)
+    state = jax.device_put(build_state(cfg_sp, model, tx, SPEC, seed=0),
+                           replicated(mesh))
+    step = jax.jit(make_train_step(model, tx, cfg_sp, 10))
+    sb = shard_batch(mesh, batch)
+    # the time axis really is sharded over `seq`
+    assert sb["ecg"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", None, "seq")
+    assert sb["target"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", "seq")
+    # the convs are spatially partitioned (halo exchange), not all-gathered
+    hlo = step.lower(state, sb).compile().as_text()
+    assert "collective-permute" in hlo, (
+        "seq-sharded step compiled without halo exchanges — GSPMD is "
+        "gathering the time axis instead of partitioning the convs")
+
+    sp_state, sp_m = step(state, sb)
+
+    mesh1, state1, step1 = _setup(jax.devices()[:1])
+    out1_state, out1_m = step1(state1, shard_batch(mesh1, batch))
+    np.testing.assert_allclose(float(sp_m["loss"]), float(out1_m["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sp_state.model.params),
+                    jax.tree.leaves(out1_state.model.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+    # BN stats reduce over (batch, time): both axes sharded, still synced
+    for a, b in zip(jax.tree.leaves(sp_state.model.batch_stats),
+                    jax.tree.leaves(out1_state.model.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_seq_sharding_specs_per_array():
+    """Per-array spec resolution: time axes shard on `seq` only when they
+    divide; 1-D id arrays and ragged trailing dims stay seq-replicated."""
+    mesh = make_mesh({"parallel": {"seq_parallel": 2}},
+                     devices=jax.devices()[:8])
+    P = jax.sharding.PartitionSpec
+    batch = {
+        "ecg": np.zeros((8, 1, 256), np.float32),     # (B, C, T)
+        "target": np.zeros((8, 256), np.int32),       # (B, T)
+        "id": np.zeros((8,), np.int32),               # (B,)
+        "ragged": np.zeros((8, 255), np.float32),     # T % seq != 0
+    }
+    sb = shard_batch(mesh, batch)
+    assert sb["ecg"].sharding.spec == P("data", None, "seq")
+    assert sb["target"].sharding.spec == P("data", "seq")
+    assert sb["id"].sharding.spec == P("data")
+    assert sb["ragged"].sharding.spec == P("data")
 
 
 def test_batch_sharding_layout():
