@@ -92,9 +92,27 @@ class Attention(nn.Module):
     fp16_enabled: bool = True
     dropout: float = 0.0
     attn_dropout: float = 0.0
-    attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
+    attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash' | 'ring'
     dtype: jnp.dtype = jnp.bfloat16
     quantize: Optional[str] = None
+
+    def _use_ring(self, train: bool) -> bool:
+        """'auto'/'ring': sequence-parallel ring attention whenever the
+        live mesh shards tokens over a ``seq`` axis — the dense and flash
+        paths would make GSPMD all-gather the sharded token axis (and the
+        dense path re-materialise (N, N) scores per device), erasing the
+        memory saving seq_parallel exists for. Skipped under attention
+        dropout (the ring never materialises the full (N, N) matrix the
+        dropout mask would need) — that combination falls back to the
+        dense path, which stays correct via GSPMD's gathers."""
+        if self.attention_impl not in ("auto", "ring"):
+            return False
+        if self.attn_dropout > 0 and train:
+            return False
+        from ...parallel.mesh import get_current_mesh, seq_parallel_size
+
+        mesh = get_current_mesh()
+        return mesh is not None and seq_parallel_size(mesh) > 1
 
     def _use_flash(self, n: int, train: bool) -> bool:
         """'auto': Pallas blockwise kernel only where it pays — long
@@ -139,7 +157,12 @@ class Attention(nn.Module):
 
         mm_dtype = self.dtype if self.fp16_enabled else jnp.float32
         scale = self.dim_head**-0.5
-        if self._use_flash(q.shape[2], train):
+        if self._use_ring(train):
+            from ...ops.ring_attention import ring_attention
+
+            out = ring_attention(q, k, v, scale,
+                                 mm_dtype=mm_dtype).astype(self.dtype)
+        elif self._use_flash(q.shape[2], train):
             # mesh-aware: shards the kernel over (data, model) so TP runs
             # head-parallel with zero collectives around the pallas_call
             from ...ops.pallas.flash_attention import (

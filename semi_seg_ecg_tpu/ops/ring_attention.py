@@ -1,0 +1,159 @@
+"""Ring attention: sequence-parallel exact attention over the ``seq`` mesh axis.
+
+The reference has no sequence parallelism at all (its only distribution is
+DDP, src/main_train.py:64-101); under ``parallel.seq_parallel`` our mesh
+shards the *time/token* axis, which GSPMD handles for convolutions (halo
+exchange) and MLPs (elementwise over tokens) — but plain softmax attention
+is all-to-all over tokens, so GSPMD's only move is to all-gather the full
+(B, H, N, D) K/V *and* materialise (B, H, N, N) score blocks on every
+device, erasing the memory saving that motivated sharding the sequence.
+
+Ring attention keeps the token axis sharded end to end: each device holds
+one Q/K/V chunk of N/s tokens; K/V chunks rotate around the ``seq`` ring
+via ``lax.ppermute`` (ICI neighbour traffic, overlappable with the block
+matmuls) while each device folds every visiting chunk into a running
+flash-style online softmax (running max ``m``, denominator ``l``,
+unnormalised accumulator ``o``). After ``s`` hops every Q block has
+attended to every K/V block exactly once, with per-device live score
+memory O((N/s)^2) instead of O(N^2) and K/V resident O(N/s) per hop.
+
+Results are *exact* (not approximate): the online softmax is the same
+reassociation flash attention uses, so values match the dense path to
+numerical-reordering tolerance, and gradients flow through the scan of
+ppermutes by plain autodiff (ppermute's transpose is the reverse-ring
+ppermute). The block accumulation is wrapped in ``jax.checkpoint`` so the
+backward pass recomputes score blocks instead of saving them.
+
+The token count need not divide the ring: inputs are zero-padded to the
+next multiple of ``s`` and the pad keys are masked out of the softmax by
+their static global position (the ViT's ``N patches + 1 cls`` token axis
+is indivisible by construction). Pad Q rows compute garbage that is
+sliced off at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BIG_NEG = -1e30  # "masked" score: finite so (sc - m) never hits inf - inf
+
+
+def _block_update(q, k_blk, v_blk, kmask, o, m, l, *, scale, mm_dtype):
+    """Fold one visiting K/V chunk into the online-softmax state.
+
+    q: (B, H, nq, D); k_blk/v_blk: (B, H, nk, D); kmask: (nk,) bool for
+    the chunk currently held (False = zero-pad key). o/m/l are the fp32
+    running accumulator / max / denominator, shapes (B, H, nq, D) /
+    (B, H, nq) / (B, H, nq).
+    """
+    sc = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(mm_dtype), k_blk.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    sc = jnp.where(kmask[None, None, None, :], sc, _BIG_NEG)
+    m_new = jnp.maximum(m, sc.max(axis=-1))
+    # pad keys contribute exactly 0 (the where, not just a tiny exp)
+    p = jnp.exp(sc - m_new[..., None]) * kmask[None, None, None, :]
+    corr = jnp.exp(m - m_new)
+    l_new = l * corr + p.sum(axis=-1)
+    o_new = o * corr[..., None] + jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(mm_dtype), v_blk.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return o_new, m_new, l_new
+
+
+def _local_ring(q, k, v, *, scale, mm_dtype, axis_name, ring_size,
+                valid_tokens):
+    """Per-shard body under shard_map: q/k/v are this device's local
+    (B, H, N/s, D) chunks of the padded token axis."""
+    b, h, nk, d = k.shape
+    o = jnp.zeros(q.shape[:3] + (d,), jnp.float32)
+    m = jnp.full(q.shape[:3], _BIG_NEG, jnp.float32)
+    l = jnp.zeros(q.shape[:3], jnp.float32)
+    perm = [(i, (i + 1) % ring_size) for i in range(ring_size)]
+    my_idx = lax.axis_index(axis_name)
+    offs = jnp.arange(nk)
+
+    update = jax.checkpoint(
+        functools.partial(_block_update, scale=scale, mm_dtype=mm_dtype))
+
+    def step(carry, t):
+        o, m, l, k_c, v_c = carry
+        # chunk held after t hops originated on device (my_idx - t) mod s;
+        # pad keys are the static tail of the padded global token axis,
+        # so the mask is a pure function of the chunk's origin — no need
+        # to rotate a mask array around the ring
+        origin = (my_idx - t) % ring_size
+        kmask = (origin * nk + offs) < valid_tokens
+        o, m, l = update(q, k_c, v_c, kmask, o, m, l)
+        k_c = lax.ppermute(k_c, axis_name, perm)
+        v_c = lax.ppermute(v_c, axis_name, perm)
+        return (o, m, l, k_c, v_c), None
+
+    (o, m, l, _, _), _ = lax.scan(
+        step, (o, m, l, k, v), jnp.arange(ring_size))
+    return o / l[..., None]
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    *,
+    mm_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Sequence-parallel exact attention over the current mesh's ``seq`` axis.
+
+    ``q, k, v``: (B, H, N, D). Returns fp32 (B, H, N, D) — softmax(QK^T *
+    scale) V with the token axis kept sharded over ``seq`` throughout
+    (K/V ring via ppermute). Batch shards over ``data`` and heads over
+    ``model`` when they divide. Falls back to dense XLA attention when
+    there is no live mesh or its ``seq`` axis is 1.
+    """
+    from ..parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, SEQ_AXIS, get_current_mesh,
+        seq_parallel_size,
+    )
+
+    if mm_dtype is None:
+        mm_dtype = q.dtype
+    b, h, n, d = q.shape
+    mesh = get_current_mesh()
+    s = 1 if mesh is None else seq_parallel_size(mesh)
+    if s == 1:
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", q.astype(mm_dtype), k.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhnm,bhmd->bhnd", attn.astype(mm_dtype), v.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    pad = (-n) % s
+    if pad:
+        zeros = jnp.zeros(q.shape[:2] + (pad, d), q.dtype)
+        q = jnp.concatenate([q, zeros], axis=2)
+        k = jnp.concatenate([k, zeros.astype(k.dtype)], axis=2)
+        v = jnp.concatenate([v, zeros.astype(v.dtype)], axis=2)
+
+    b_ax = DATA_AXIS if b % mesh.shape[DATA_AXIS] == 0 else None
+    h_ax = MODEL_AXIS if h % mesh.shape[MODEL_AXIS] == 0 else None
+    spec = jax.sharding.PartitionSpec(b_ax, h_ax, SEQ_AXIS, None)
+
+    local = functools.partial(
+        _local_ring, scale=scale, mm_dtype=mm_dtype, axis_name=SEQ_AXIS,
+        ring_size=s, valid_tokens=n)
+    out = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+    return out[:, :, :n, :] if pad else out
