@@ -85,6 +85,16 @@ def make_mesh(
     assert n % (model * seq) == 0, (
         f"{n} devices not divisible by model_parallel={model} "
         f"x seq_parallel={seq}")
+    if (model * seq) > 1 and jax.process_count() > 1:
+        # hosts contribute whole data rows: shard_batch assembles global
+        # arrays from per-host *batch rows* (each host's loader yields its
+        # data shards with the full time axis), so a (seq, model) tile
+        # must never straddle a process boundary
+        ld = len(jax.local_devices())
+        assert ld % (model * seq) == 0, (
+            f"model_parallel={model} x seq_parallel={seq} must divide the "
+            f"{ld} per-host devices: non-data mesh axes are host-local "
+            "(per-host loaders shard batch rows, not the time axis)")
     dev_array = np.asarray(devices).reshape(n // (model * seq), seq, model)
     mesh = Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     set_current_mesh(mesh)

@@ -179,6 +179,21 @@ def main() -> None:
         np.testing.assert_allclose(leaf, golden["leaf"], rtol=0.05,
                                    atol=5e-3)
 
+    # --- 7. seq_parallel across processes: (data=4, seq=2) global mesh,
+    # each host contributes whole data rows (full time axis); the halo
+    # exchanges + batch assembly must reproduce the DP golden ------------
+    config_sp = {**config, "parallel": {"model_parallel": 1,
+                                        "seq_parallel": 2}}
+    mesh_sp = make_mesh(config_sp)
+    assert data_parallel_size(mesh_sp) == 4
+    losses_sp, leaf_sp = train_parity_run(
+        config_sp, mesh_sp, make_parity_batches(pid * 8, pid * 8 + 8))
+    if is_main_process():
+        golden = np.load(os.path.join(workdir, "train_golden.npz"))
+        np.testing.assert_allclose(losses_sp, golden["losses"], rtol=5e-3)
+        np.testing.assert_allclose(leaf_sp, golden["leaf"], rtol=0.05,
+                                   atol=5e-3)
+
     with open(os.path.join(workdir, f"ok{pid}"), "w") as f:
         f.write("ok")
     print(f"WORKER{pid}-OK", flush=True)
