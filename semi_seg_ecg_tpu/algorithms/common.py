@@ -513,11 +513,17 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
 
     from ..parallel.mesh import seq_parallel_size
 
-    if seq_parallel_size(mesh) > 1:
+    if seq_parallel_size(mesh) > 1 and any(
+            config["dataset"].get(k, False)
+            for k in ("device_augment", "device_cache")):
         # the fused device-augment/cache paths gather along the time axis
         # through data-axis-only shard_map wrappers (ops/pallas/gather1d);
         # under sequence parallelism they would silently all-gather the
-        # sharded time axis every step — run them on the host instead
+        # sharded time axis every step — run them on the host instead.
+        # Override on a local copy: the caller's config dict must not be
+        # mutated (a sweep reusing one config across runs would otherwise
+        # silently lose the fused paths on later non-SP runs).
+        config = {**config, "dataset": dict(config["dataset"])}
         for knob in ("device_augment", "device_cache"):
             if config["dataset"].get(knob, False):
                 log(f"{knob} disabled: seq_parallel shards the time axis "

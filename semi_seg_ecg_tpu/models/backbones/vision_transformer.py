@@ -107,12 +107,24 @@ class Attention(nn.Module):
         dense path, which stays correct via GSPMD's gathers."""
         if self.attention_impl not in ("auto", "ring"):
             return False
-        if self.attn_dropout > 0 and train:
-            return False
         from ...parallel.mesh import get_current_mesh, seq_parallel_size
 
         mesh = get_current_mesh()
-        return mesh is not None and seq_parallel_size(mesh) > 1
+        seq = mesh is not None and seq_parallel_size(mesh) > 1
+        if seq and self.attn_dropout > 0 and train:
+            import logging
+
+            # trace-time (once per compile): the dense fallback will
+            # all-gather the seq-sharded token axis and re-materialise
+            # O(N^2) scores per device — correct, but it erases the
+            # memory saving seq_parallel exists for
+            logging.getLogger(__name__).warning(
+                "ring attention skipped: attn_dropout > 0 needs the full "
+                "(N, N) attention matrix — falling back to dense "
+                "attention, which all-gathers the seq-sharded token axis "
+                "(set attn_drop_out_rate: 0 to keep tokens sharded)")
+            return False
+        return seq
 
     def _use_flash(self, n: int, train: bool) -> bool:
         """'auto': Pallas blockwise kernel only where it pays — long
@@ -120,7 +132,10 @@ class Attention(nn.Module):
         materialises the (N, N) matrix the dropout mask would need)."""
         from ...ops.pallas.flash_attention import fits_vmem
 
-        if self.attention_impl == "xla":
+        if self.attention_impl in ("xla", "ring"):
+            # explicit 'ring' without a live seq mesh falls back to the
+            # dense path (ring_attention's documented fallback), never to
+            # a third, unrequested implementation
             return False
         if self.attn_dropout > 0 and train:
             return False
@@ -175,15 +190,11 @@ class Attention(nn.Module):
                 scale, None, None, interpret,  # blocks: pick_blocks(n, d)
             ).astype(self.dtype)
         else:
-            logits = jnp.einsum(
-                "bhnd,bhmd->bhnm", q.astype(mm_dtype), k.astype(mm_dtype),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            attn = jax.nn.softmax(logits, axis=-1)  # fp32 softmax always
-            attn = nn.Dropout(self.attn_dropout, deterministic=not train)(attn)
-            out = jnp.einsum(
-                "bhnm,bhmd->bhnd", attn.astype(mm_dtype), v.astype(mm_dtype),
-                preferred_element_type=jnp.float32,
+            from ...ops.attention import dense_attention
+
+            dropout = nn.Dropout(self.attn_dropout, deterministic=not train)
+            out = dense_attention(  # fp32 softmax always
+                q, k, v, scale, mm_dtype=mm_dtype, attn_transform=dropout,
             ).astype(self.dtype)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)

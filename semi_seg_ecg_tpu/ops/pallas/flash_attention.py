@@ -315,11 +315,10 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k,
 
 
 def _reference_attention(q, k, v, scale):
-    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhnm,bhmd->bhnd", p,
-                      v.astype(jnp.float32)).astype(q.dtype)
+    from ..attention import dense_attention
+
+    return dense_attention(q, k, v, scale,
+                           mm_dtype=jnp.float32).astype(q.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -83,21 +83,29 @@ def _local_ring(q, k, v, *, scale, mm_dtype, axis_name, ring_size,
     update = jax.checkpoint(
         functools.partial(_block_update, scale=scale, mm_dtype=mm_dtype))
 
-    def step(carry, t):
-        o, m, l, k_c, v_c = carry
+    def kmask(origin):
         # chunk held after t hops originated on device (my_idx - t) mod s;
         # pad keys are the static tail of the padded global token axis,
         # so the mask is a pure function of the chunk's origin — no need
         # to rotate a mask array around the ring
-        origin = (my_idx - t) % ring_size
-        kmask = (origin * nk + offs) < valid_tokens
-        o, m, l = update(q, k_c, v_c, kmask, o, m, l)
+        return (origin * nk + offs) < valid_tokens
+
+    # hop 0 is this device's own chunk: fold it in before any ppermute so
+    # the scan rotates exactly ring_size - 1 times (a rotate-after-use
+    # loop would issue one final dead ppermute pair, doubling ring
+    # traffic — forward and its transposed reverse ring — at s = 2)
+    o, m, l = update(q, k, v, kmask(my_idx), o, m, l)
+
+    def step(carry, t):
+        o, m, l, k_c, v_c = carry
         k_c = lax.ppermute(k_c, axis_name, perm)
         v_c = lax.ppermute(v_c, axis_name, perm)
+        o, m, l = update(q, k_c, v_c, kmask((my_idx - t) % ring_size),
+                         o, m, l)
         return (o, m, l, k_c, v_c), None
 
     (o, m, l, _, _), _ = lax.scan(
-        step, (o, m, l, k, v), jnp.arange(ring_size))
+        step, (o, m, l, k, v), jnp.arange(1, ring_size))
     return o / l[..., None]
 
 
@@ -128,15 +136,9 @@ def ring_attention(
     mesh = get_current_mesh()
     s = 1 if mesh is None else seq_parallel_size(mesh)
     if s == 1:
-        logits = jnp.einsum(
-            "bhnd,bhmd->bhnm", q.astype(mm_dtype), k.astype(mm_dtype),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum(
-            "bhnm,bhmd->bhnd", attn.astype(mm_dtype), v.astype(mm_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        from .attention import dense_attention
+
+        return dense_attention(q, k, v, scale, mm_dtype=mm_dtype)
 
     pad = (-n) % s
     if pad:

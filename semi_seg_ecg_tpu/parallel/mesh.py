@@ -89,12 +89,18 @@ def make_mesh(
         # hosts contribute whole data rows: shard_batch assembles global
         # arrays from per-host *batch rows* (each host's loader yields its
         # data shards with the full time axis), so a (seq, model) tile
-        # must never straddle a process boundary
-        ld = len(jax.local_devices())
-        assert ld % (model * seq) == 0, (
-            f"model_parallel={model} x seq_parallel={seq} must divide the "
-            f"{ld} per-host devices: non-data mesh axes are host-local "
-            "(per-host loaders shard batch rows, not the time axis)")
+        # must never straddle a process boundary. Validate the devices
+        # actually forming this mesh, not jax.local_devices() — a caller
+        # may build over a subset.
+        per_proc: Dict[int, int] = {}
+        for d in devices:
+            per_proc[d.process_index] = per_proc.get(d.process_index, 0) + 1
+        bad = {p: c for p, c in per_proc.items() if c % (model * seq) != 0}
+        assert not bad, (
+            f"model_parallel={model} x seq_parallel={seq} must divide each "
+            f"process's device count (got {per_proc}): non-data mesh axes "
+            "are host-local (per-host loaders shard batch rows, not the "
+            "time axis)")
     dev_array = np.asarray(devices).reshape(n // (model * seq), seq, model)
     mesh = Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     set_current_mesh(mesh)
@@ -124,14 +130,24 @@ def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, DATA_AXIS))
 
 
+# a trailing dim this short is a feature/stat axis, not a time axis —
+# real signal lengths are hundreds to millions of samples. Guards the
+# time-axis heuristic below against sharding e.g. a (B, 4) per-sample
+# stats array over `seq` just because 4 happens to divide.
+_MIN_TIME_DIM = 32
+
+
 def _array_sharding(mesh: Mesh, arr, base: Sequence) -> NamedSharding:
     """Per-array batch spec: ``base`` entries (leading dims), plus the
-    ``seq`` axis on the trailing time dim when the mesh has one and the
-    dim divides evenly. 1-D arrays (ids, cache indices) and ragged
-    trailing dims stay seq-replicated — correct, just not time-sharded."""
+    ``seq`` axis on the trailing time dim when the mesh has one, the dim
+    divides evenly, and it is long enough to actually be a time axis
+    (``_MIN_TIME_DIM * seq``). 1-D arrays (ids, cache indices), short
+    trailing dims, and ragged trailing dims stay seq-replicated —
+    correct, just not time-sharded."""
     sq = seq_parallel_size(mesh)
     ndim = getattr(arr, "ndim", 0)
-    if sq > 1 and ndim > len(base) and arr.shape[-1] % sq == 0:
+    if (sq > 1 and ndim > len(base) and arr.shape[-1] % sq == 0
+            and arr.shape[-1] >= _MIN_TIME_DIM * sq):
         entries = list(base) + [None] * (ndim - len(base))
         entries[-1] = SEQ_AXIS
         return NamedSharding(mesh, P(*entries))
