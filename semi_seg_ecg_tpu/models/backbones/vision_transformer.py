@@ -142,6 +142,21 @@ class Attention(nn.Module):
         if not fits_vmem(n, self.dim_head):
             return False
         if self.attention_impl == "flash":
+            from ...parallel.mesh import get_current_mesh, seq_parallel_size
+
+            mesh = get_current_mesh()
+            if mesh is not None and seq_parallel_size(mesh) > 1:
+                import logging
+
+                # trace-time (once per compile): the flash shard_map spec
+                # omits the seq axis, so q/k/v get all-gathered and the
+                # kernel runs redundantly on every seq rank — correct,
+                # but it silently erases the seq_parallel saving
+                logging.getLogger(__name__).warning(
+                    "attention_impl='flash' under a seq>1 mesh all-gathers "
+                    "the seq-sharded token axis and computes the kernel "
+                    "redundantly on every seq rank — use "
+                    "attention_impl: auto (or ring) to keep tokens sharded")
             return True
         on_tpu = jax.default_backend() == "tpu"
         # crossover swept on v5e (d=64, bf16): flash 1.25x at n=512,

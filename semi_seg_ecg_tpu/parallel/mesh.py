@@ -101,6 +101,19 @@ def make_mesh(
             f"process's device count (got {per_proc}): non-data mesh axes "
             "are host-local (per-host loaders shard batch rows, not the "
             "time axis)")
+    if (model * seq) > 1 and jax.process_count() > 1:
+        # counts dividing is necessary but not sufficient: a devices list
+        # not grouped contiguously by process would still reshape a
+        # (seq, model) tile across two hosts. Group by process first
+        # (stable, so intra-process device order is preserved), then
+        # verify every tile really is single-process.
+        devices = sorted(devices, key=lambda d: d.process_index)
+        tiles = np.asarray(devices).reshape(-1, model * seq)
+        for tile in tiles:
+            procs = {d.process_index for d in tile}
+            assert len(procs) == 1, (
+                f"(seq={seq}, model={model}) tile straddles processes "
+                f"{sorted(procs)}: non-data mesh axes must be host-local")
     dev_array = np.asarray(devices).reshape(n // (model * seq), seq, model)
     mesh = Mesh(dev_array, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     set_current_mesh(mesh)
@@ -137,6 +150,12 @@ def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
 _MIN_TIME_DIM = 32
 
 
+# trailing-dim lengths already warned about (once per shape, per process):
+# a ragged time axis under seq_parallel runs correct-but-seq-replicated,
+# which silently defeats the knob — say so exactly once
+_WARNED_RAGGED: set = set()
+
+
 def _array_sharding(mesh: Mesh, arr, base: Sequence) -> NamedSharding:
     """Per-array batch spec: ``base`` entries (leading dims), plus the
     ``seq`` axis on the trailing time dim when the mesh has one, the dim
@@ -151,6 +170,22 @@ def _array_sharding(mesh: Mesh, arr, base: Sequence) -> NamedSharding:
         entries = list(base) + [None] * (ndim - len(base))
         entries[-1] = SEQ_AXIS
         return NamedSharding(mesh, P(*entries))
+    if (sq > 1 and ndim > len(base)
+            and arr.shape[-1] >= _MIN_TIME_DIM * sq
+            and arr.shape[-1] % sq != 0
+            and arr.shape[-1] not in _WARNED_RAGGED):
+        # long enough to be a time axis, failed ONLY divisibility: the
+        # user asked for seq_parallel but this array keeps the full
+        # per-sample activation footprint on every seq rank
+        _WARNED_RAGGED.add(arr.shape[-1])
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "seq_parallel=%d requested but trailing time dim %d is not "
+            "divisible by it — this array stays seq-REPLICATED (full "
+            "per-sample footprint on every seq rank). Pad/crop the "
+            "signal length to a multiple of seq_parallel to get the "
+            "memory saving.", sq, arr.shape[-1])
     return NamedSharding(mesh, P(*base))
 
 

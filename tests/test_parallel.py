@@ -274,3 +274,56 @@ def test_tp_no_match_warns(capsys):
     state = {"Attention_0": {"Dense_0": {"kernel": jnp.ones((8, 8))}}}
     shard_state(mesh, state)
     assert "no tensor-parallel" not in capsys.readouterr().out
+
+
+def test_ragged_time_dim_warns_once(caplog):
+    """A long trailing dim that fails ONLY seq-divisibility must warn
+    (once): the user asked for seq_parallel, the array silently keeping
+    the full per-sample footprint defeats the knob (ADVICE r3)."""
+    import logging
+
+    from semi_seg_ecg_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh({"parallel": {"seq_parallel": 2}},
+                     devices=jax.devices()[:8])
+    mesh_mod._WARNED_RAGGED.discard(2501)
+    batch = {"ecg": np.zeros((8, 1, 2501), np.float32)}
+    with caplog.at_level(logging.WARNING,
+                         logger="semi_seg_ecg_tpu.parallel.mesh"):
+        shard_batch(mesh, batch)
+        first = [r for r in caplog.records if "seq-REPLICATED" in r.message]
+        assert len(first) == 1, "ragged time dim under seq>1 must warn"
+        shard_batch(mesh, batch)
+        again = [r for r in caplog.records if "seq-REPLICATED" in r.message]
+        assert len(again) == 1, "the warning must fire once, not per step"
+    # short feature axes (e.g. (B, 4) stats) must NOT trigger it
+    mesh_mod._WARNED_RAGGED.discard(5)
+    with caplog.at_level(logging.WARNING,
+                         logger="semi_seg_ecg_tpu.parallel.mesh"):
+        caplog.clear()
+        shard_batch(mesh, {"stats": np.zeros((8, 5), np.float32)})
+        assert not [r for r in caplog.records
+                    if "seq-REPLICATED" in r.message]
+
+
+def test_explicit_flash_under_seq_mesh_warns(caplog):
+    """attention_impl='flash' combined with a live seq>1 mesh computes the
+    kernel redundantly on every seq rank — must warn (ADVICE r3)."""
+    import logging
+
+    from semi_seg_ecg_tpu.models.backbones.vision_transformer import Attention
+
+    make_mesh({"parallel": {"seq_parallel": 2}}, devices=jax.devices()[:8])
+    try:
+        attn = Attention(output_dim=64, heads=2, dim_head=32,
+                         attention_impl="flash")
+        with caplog.at_level(
+                logging.WARNING,
+                logger="semi_seg_ecg_tpu.models.backbones.vision_transformer"):
+            # fits_vmem holds at this size, so the warning branch is reached
+            assert attn._use_flash(1024, train=False) is True
+        assert any("redundantly on every seq rank" in r.message
+                   for r in caplog.records)
+    finally:
+        # restore a plain data mesh for later tests in this process
+        make_mesh(devices=jax.devices())
