@@ -7,8 +7,10 @@ in-tree: given a directory of WFDB records with delineation annotations, it
 writes ``{out}/ecg/*.pkl``, ``{out}/label/*.pkl`` and ``{out}/index/*.csv``
 compatible with ``build_seg_dataset``.
 
-Requires the optional ``wfdb`` package (declared but unused by the
-reference, requirements.txt:14); exits with guidance when absent.
+Uses the installed ``wfdb`` package when present (declared but unused by
+the reference, requirements.txt:14); otherwise falls back to the vendored
+pure-Python reader (``semi_seg_ecg_tpu.data.wfdb_io``) — no optional
+dependencies needed.
 
 Usage:
   python tools/prepare_data.py --records_dir DIR --out_dir DIR \
@@ -68,13 +70,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     try:
-        import wfdb
+        import wfdb  # the real package wins when installed
     except ImportError:
-        sys.exit(
-            "The optional 'wfdb' package is required for raw-record "
-            "conversion (pip install wfdb). Pre-converted pkl datasets do "
-            "not need this tool."
-        )
+        # vendored pure-Python reader (formats 80/16/61/212/24/32 + MIT
+        # annotations — everything the target delineation datasets use),
+        # so this tool runs with zero optional dependencies
+        from semi_seg_ecg_tpu.data import wfdb_io as wfdb
     import pandas as pd
 
     symbol_map = {}
