@@ -193,6 +193,18 @@ def _build(scan_k: int, aot: bool = True, batch_per_replica: int = 16):
     batch = jax.device_put(batch, batch_sharding(mesh))
 
     inner = make_train_step(model, tx, config, 1000)
+    if os.environ.get("BENCH_FUSED", "1") != "0":
+        # flat fused state: the donated update aliases whole per-dtype
+        # buffers instead of ~430 tiny leaves (kills the per-leaf aliasing
+        # copy pairs — 6.9% of the B=64 step, NOTES.md). Same default as
+        # run_training; BENCH_FUSED=0 measures the tree path.
+        from semi_seg_ecg_tpu.utils.fused_state import (
+            FuseMeta, FusedTrainState, wrap_step as _fuse_wrap,
+        )
+
+        _meta = FuseMeta(state)
+        state = FusedTrainState(buffers=_meta._jit_pack(state), meta=_meta)
+        inner = _fuse_wrap(inner, _meta)
     if scan_k > 1:
         from semi_seg_ecg_tpu.parallel.mesh import shard_stacked_batch
 
