@@ -203,7 +203,8 @@ def _build(scan_k: int, aot: bool = True, batch_per_replica: int = 16):
         )
 
         _meta = FuseMeta(state)
-        state = FusedTrainState(buffers=_meta._jit_pack(state), meta=_meta)
+        _bufs, _pass = _meta._jit_pack(state)
+        state = FusedTrainState(buffers=_bufs, passthrough=_pass, meta=_meta)
         inner = _fuse_wrap(inner, _meta)
     if scan_k > 1:
         from semi_seg_ecg_tpu.parallel.mesh import shard_stacked_batch

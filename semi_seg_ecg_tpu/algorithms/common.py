@@ -652,7 +652,8 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
         fuse_reason = fused_state_blocker(mesh, shard_opt)
         if fuse_reason is None:
             fuse_meta = FuseMeta(state)
-            state = FusedTrainState(buffers=fuse_meta._jit_pack(state),
+            _bufs, _pass = fuse_meta._jit_pack(state)
+            state = FusedTrainState(buffers=_bufs, passthrough=_pass,
                                     meta=fuse_meta)
             inner_step = wrap_step(inner_step, fuse_meta)
             log(f"fused_state: {fuse_meta.summary()}")
