@@ -106,6 +106,49 @@ def capture(steps: int, scan_k: int, logdir: str, augment: bool = False,
     return wall / (calls * max(scan_k, 1)), calls
 
 
+def capture_inference(steps: int, logdir: str, batch: int = 256,
+                      int8: bool = False):
+    """Trace the serving forward (eval-mode flagship + softmax) — the
+    program tools/bench_inference.py times; returns wall s/call.
+
+    The round-3 verdict's open question: float serving measured 65k
+    samples/s ~ 0.30 MFU at batch 256 with no kernel-level attribution —
+    this capture answers whether that is the forward's roofline or a
+    fixable layout/fusion problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from semi_seg_ecg_tpu.algorithms.common import init_model_state
+    from semi_seg_ecg_tpu.models import build_model_from_config
+
+    config = _flagship_config()
+    if int8:
+        config["quantize"] = "int8"
+    model = build_model_from_config(config, train=False, serving=True)
+    state = init_model_state(model, config, 0)
+
+    @jax.jit
+    def infer(params, batch_stats, x):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False)
+        return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 1, 2500)), jnp.float32)
+    for _ in range(3):
+        out = infer(state.params, state.batch_stats, x)
+    jax.block_until_ready(out)
+
+    with jax.profiler.trace(logdir):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = infer(state.params, state.batch_stats, x)
+        float(out[0, 0, 0])  # value-fetch barrier (tunnel discipline)
+        wall = time.perf_counter() - t0
+    return wall / steps, steps
+
+
 def tool_rows(logdir: str, tool: str):
     from xprof.convert import raw_to_tool_data as rtd
 
@@ -182,6 +225,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16,
                     help="per-replica batch (the bench_scale sweep showed "
                          "a >=128 falloff — trace it at that size)")
+    ap.add_argument("--inference", action="store_true",
+                    help="profile the serving forward (eval-mode flagship "
+                         "+ softmax) instead of the train step")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --inference: the dynamically quantized model")
     ap.add_argument("--tool", default="hlo_stats")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--out", default=None,
@@ -199,11 +247,17 @@ def main():
 
     logdir = args.out or tempfile.mkdtemp(prefix="jaxprof_")
     try:
-        wall_per_step, calls = capture(args.steps, args.scan, logdir,
-                                       augment=args.augment,
-                                       batch=args.batch)
+        if args.inference:
+            wall_per_step, calls = capture_inference(
+                args.steps, logdir, batch=args.batch, int8=args.int8)
+        else:
+            wall_per_step, calls = capture(args.steps, args.scan, logdir,
+                                           augment=args.augment,
+                                           batch=args.batch)
         steps_traced = calls * max(args.scan, 1)
-        label = (f"scan{args.scan}" if args.scan > 1
+        label = (("int8-" if args.int8 else "") + "inference"
+                 if args.inference
+                 else f"scan{args.scan}" if args.scan > 1
                  else "augment+step" if args.augment else "per-step")
         print(f"[{label}] traced {steps_traced} steps "
               f"({calls} dispatches), wall {wall_per_step * 1e6:.1f} us/step")
