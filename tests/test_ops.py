@@ -47,6 +47,28 @@ def test_linear_interpolate_identity(rng):
     assert linear_interpolate(x, 10) is x
 
 
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_linear_interpolate_gather_path_matches_matmul(rng, align_corners):
+    """Long-record sizes switch to the O(out) two-gather path
+    (_MATMUL_MAX_ENTRIES); it must agree with the matmul formulation
+    bit-for-bit up to summation order."""
+    from semi_seg_ecg_tpu.ops import interpolate as I
+
+    in_len, out_len = 640, 4096
+    assert in_len * out_len <= I._MATMUL_MAX_ENTRIES
+    x = jnp.asarray(rng.standard_normal((2, 3, in_len)).astype(np.float32))
+    via_matmul = np.asarray(
+        linear_interpolate(x, out_len, align_corners=align_corners))
+    orig = I._MATMUL_MAX_ENTRIES
+    try:
+        I._MATMUL_MAX_ENTRIES = 0  # force the gather path
+        via_gather = np.asarray(
+            linear_interpolate(x, out_len, align_corners=align_corners))
+    finally:
+        I._MATMUL_MAX_ENTRIES = orig
+    np.testing.assert_allclose(via_gather, via_matmul, atol=1e-6, rtol=1e-6)
+
+
 def test_cross_entropy_matches_torch(rng):
     logits = rng.standard_normal((4, 4, 100)).astype(np.float32)
     labels = rng.integers(0, 4, size=(4, 100))
