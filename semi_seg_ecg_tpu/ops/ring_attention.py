@@ -29,11 +29,22 @@ next multiple of ``s`` and the pad keys are masked out of the softmax by
 their static global position (the ViT's ``N patches + 1 cls`` token axis
 is indivisible by construction). Pad Q rows compute garbage that is
 sliced off at the end.
+
+For Holter-scale chunks the (N/s, N/s) score block of a single hop is
+itself too large to materialise (T=2^21, s=8: 16k x 16k fp32 per
+batch-head = the 100 GB/device the round-4 crossover measured), so when
+``nq * nk`` exceeds ``_SCORE_CAP`` each visiting chunk is folded in key
+sub-blocks of ``blk`` columns — the same online softmax, one more level
+of reassociation, live score memory O(nq * blk) — with the whole fold
+under one ``jax.checkpoint`` so the backward recomputes sub-blocks
+instead of saving them. Flagship-sized chunks take the single-block
+path unchanged.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -41,6 +52,13 @@ import jax.numpy as jnp
 from jax import lax
 
 _BIG_NEG = -1e30  # "masked" score: finite so (sc - m) never hits inf - inf
+
+# Largest (nq * nk) score block one hop may materialise per batch-head
+# before the fold switches to key sub-blocks (fp32: 4 Mi elems = 16 MiB
+# per batch-head slice). Env-overridable for hardware tuning and for
+# driving the sub-blocked path at test-sized shapes.
+_SCORE_CAP = int(os.environ.get("ECG_RING_SCORE_CAP", 1 << 22))
+_MIN_BLK = 128  # lane-width multiple; also the floor for tiny nq
 
 
 def _block_update(q, k_blk, v_blk, kmask, o, m, l, *, scale, mm_dtype):
@@ -68,8 +86,45 @@ def _block_update(q, k_blk, v_blk, kmask, o, m, l, *, scale, mm_dtype):
     return o_new, m_new, l_new
 
 
+def _fold_chunk(q, k_blk, v_blk, kmask, o, m, l, *, scale, mm_dtype, blk):
+    """Fold one visiting K/V chunk, sub-blocking the key axis when the
+    full (nq, nk) score block would be too large to materialise.
+
+    ``blk >= nk`` takes the single-block path (bit-identical HLO to the
+    pre-sub-blocking implementation); otherwise the chunk is folded in
+    ``nk // blk`` column slabs through the same online softmax — one more
+    level of the reassociation flash attention already performs, so the
+    result is still exact. ``ring_attention`` pads the token axis so
+    ``blk`` always divides ``nk``.
+    """
+    b, h, nk, d = k_blk.shape
+    if blk >= nk:
+        return _block_update(q, k_blk, v_blk, kmask, o, m, l,
+                             scale=scale, mm_dtype=mm_dtype)
+    nb = nk // blk
+    k_r = jnp.moveaxis(k_blk.reshape(b, h, nb, blk, d), 2, 0)
+    v_r = jnp.moveaxis(v_blk.reshape(b, h, nb, blk, d), 2, 0)
+    m_r = kmask.reshape(nb, blk)
+
+    def step(carry, xs):
+        o, m, l = carry
+        k_sb, v_sb, msk = xs
+        return _block_update(q, k_sb, v_sb, msk, o, m, l,
+                             scale=scale, mm_dtype=mm_dtype), None
+
+    # the body must be checkpointed as well: differentiating the scan
+    # saves each iteration's residuals, and without remat that is the
+    # (nq, blk) score/probability blocks stacked nb-high — the exact
+    # O((N/s)^2)-scale memory this fold exists to avoid (measured:
+    # 6 GB x many at T=2^21). With it, the reverse sweep recomputes one
+    # sub-block's scores at a time; only the (o, m, l) carries stack.
+    (o, m, l), _ = lax.scan(jax.checkpoint(step), (o, m, l),
+                            (k_r, v_r, m_r))
+    return o, m, l
+
+
 def _local_ring(q, k, v, *, scale, mm_dtype, axis_name, ring_size,
-                valid_tokens):
+                valid_tokens, blk):
     """Per-shard body under shard_map: q/k/v are this device's local
     (B, H, N/s, D) chunks of the padded token axis."""
     b, h, nk, d = k.shape
@@ -80,8 +135,12 @@ def _local_ring(q, k, v, *, scale, mm_dtype, axis_name, ring_size,
     my_idx = lax.axis_index(axis_name)
     offs = jnp.arange(nk)
 
+    # checkpoint the whole fold (sub-block scan included): each hop's
+    # backward recomputes its score sub-blocks from the chunk, so saved
+    # residuals per hop are O(N/s) chunk bytes, never O((N/s)^2) scores
     update = jax.checkpoint(
-        functools.partial(_block_update, scale=scale, mm_dtype=mm_dtype))
+        functools.partial(_fold_chunk, scale=scale, mm_dtype=mm_dtype,
+                          blk=blk))
 
     def kmask(origin):
         # chunk held after t hops originated on device (my_idx - t) mod s;
@@ -140,7 +199,24 @@ def ring_attention(
 
         return dense_attention(q, k, v, scale, mm_dtype=mm_dtype)
 
-    pad = (-n) % s
+    # key sub-block width: single-block (blk >= nk) until one hop's
+    # (nq, nk) score block exceeds _SCORE_CAP per batch-head. Past the
+    # cap, blk balances the two O(large) buffers the sub-blocked fold
+    # carries — the live score block (nq*blk) and the inner scan's
+    # per-iteration (o) carry stack ((nk/blk)*nq*d from differentiating
+    # the online softmax) — equal at blk = sqrt(d*nk), making per-device
+    # attention temp O(nq^1.5) instead of O(nq^2). Padding must then
+    # make s*blk divide the token axis so every chunk splits evenly
+    # (more masked pad keys — the origin-index mask handles any amount).
+    nq0 = -(-n // s)
+    if nq0 * nq0 > _SCORE_CAP:
+        blk = int((d * nq0) ** 0.5) // _MIN_BLK * _MIN_BLK
+        blk = max(_MIN_BLK, min(blk, nq0))
+        unit = s * blk
+    else:
+        blk = nq0 + _MIN_BLK  # sentinel: always >= nk -> single block
+        unit = s
+    pad = (-n) % unit
     if pad:
         zeros = jnp.zeros(q.shape[:2] + (pad, d), q.dtype)
         q = jnp.concatenate([q, zeros], axis=2)
@@ -153,7 +229,7 @@ def ring_attention(
 
     local = functools.partial(
         _local_ring, scale=scale, mm_dtype=mm_dtype, axis_name=SEQ_AXIS,
-        ring_size=s, valid_tokens=n)
+        ring_size=s, valid_tokens=n, blk=blk)
     out = jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,

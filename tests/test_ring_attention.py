@@ -93,6 +93,39 @@ def test_ring_no_mesh_fallback(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.parametrize("n", [64, 101])
+def test_ring_subblocked_matches_dense(rng, n, monkeypatch):
+    """Forcing the key-sub-block fold (_SCORE_CAP tiny) must stay exact —
+    forward AND gradients — including when the extra s*blk padding kicks
+    in (n=101 with blk=16, s=4 pads to 112)."""
+    import semi_seg_ecg_tpu.ops.ring_attention as ra
+
+    monkeypatch.setattr(ra, "_SCORE_CAP", 64)   # nq0^2 > 64 -> sub-block
+    monkeypatch.setattr(ra, "_MIN_BLK", 16)
+    q, k, v = _qkv(rng, b=2, h=2, n=n, d=8)
+    g = rng.standard_normal((2, 2, n, 8)).astype(np.float32)
+    scale = 8**-0.5
+
+    mesh = make_mesh({"parallel": {"seq_parallel": 4}},
+                     devices=jax.devices()[:8])
+    try:
+        out = jax.jit(lambda q, k, v: ring_attention(q, k, v, scale))(q, k, v)
+        grads = jax.jit(jax.grad(
+            lambda q, k, v: (ring_attention(q, k, v, scale) * g).sum(),
+            argnums=(0, 1, 2)))(q, k, v)
+    finally:
+        set_current_mesh(None)
+    ref = _dense_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    ref_g = jax.jit(jax.grad(
+        lambda q, k, v: (_dense_attention(q, k, v, scale) * g).sum(),
+        argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(grads, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
 def test_ring_uses_collective_permute(rng):
     """The compiled HLO moves K/V with collective-permute (neighbour ICI
     traffic), not all-gather of the token axis."""
