@@ -977,9 +977,31 @@ def run_inference(config: Dict[str, Any]) -> np.ndarray:
         config = {**config, "precision": "fp32"}
     model, model_state = load_eval_model(config)
 
+    # int8 + quantize_calibration: N — collect static activation scales
+    # from the first N test batches, removing the per-layer absmax
+    # reductions from the serving graph (utils/calibrate.py)
+    quant = None
+    n_cal = int(config.get("quantize_calibration", 0) or 0)
+    if config.get("quantize") == "int8" and n_cal > 0:
+        from ..utils.calibrate import calibrate_quant
+
+        cal = []
+        for i, b in enumerate(loader):
+            if i >= n_cal:
+                break
+            cal.append(jnp.asarray(b["ecg"]))
+        quant = calibrate_quant(
+            model, model_state.params, model_state.batch_stats, cal)
+        log(f"int8 calibration: static activation scales from "
+            f"{len(cal)} batch(es)")
+
     @jax.jit
     def infer_step(mstate: ModelState, batch):
-        out = apply_eval(model, mstate, batch["ecg"])
+        variables = {"params": mstate.params,
+                     "batch_stats": mstate.batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, batch["ecg"], train=False)
         return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
 
     n = len(ds_test)

@@ -107,6 +107,65 @@ def test_quantized_model_argmax_agreement(cfg):
     assert rel < 0.1, rel
 
 
+@pytest.mark.parametrize("cfg", [RESNET_CFG, VIT_CFG], ids=["resnet", "vit"])
+def test_static_scales_track_dynamic(cfg):
+    """Calibrated static activation scales (utils/calibrate.py): the quant
+    collection holds one absmax per int8 layer, and serving with it bound
+    tracks dynamic quantization closely when calibration saw the same
+    distribution (the static path only clips what the dynamic path would
+    have rescaled)."""
+    from semi_seg_ecg_tpu.utils.calibrate import calibrate_quant
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 1, 2500)), jnp.float32)
+    q = build_model_from_config({**cfg, "quantize": "int8"}, train=False,
+                                serving=True)
+    _, variables = _init_and_apply(q, x)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    quant = calibrate_quant(
+        q, params, stats,
+        [jnp.asarray(rng.standard_normal((2, 1, 2500)), jnp.float32)
+         for _ in range(3)] + [x])
+    absmaxes = jax.tree.leaves(quant)
+    assert absmaxes and all(a.shape == () for a in absmaxes)
+    assert all(float(a) > 0 for a in absmaxes)
+
+    base = {"params": params, "batch_stats": stats}
+    out_dyn = q.apply(base, x, train=False)["seg_logits"]
+    out_sta = q.apply({**base, "quant": quant}, x, train=False)["seg_logits"]
+    l_dyn = np.asarray(out_dyn, np.float32)
+    l_sta = np.asarray(out_sta, np.float32)
+    rel = np.linalg.norm(l_sta - l_dyn) / np.linalg.norm(l_dyn)
+    assert rel < 0.1, rel
+    agreement = float((l_dyn.argmax(1) == l_sta.argmax(1)).mean())
+    assert agreement > 0.9, agreement
+
+
+def test_static_scale_graph_has_no_activation_reductions():
+    """The point of calibration: the compiled static graph must not reduce
+    over activation tensors to find scales. Proxy: it contains strictly
+    fewer reduce ops than the dynamic graph."""
+    from semi_seg_ecg_tpu.utils.calibrate import calibrate_quant
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 1, 2500)), jnp.float32)
+    q = build_model_from_config({**RESNET_CFG, "quantize": "int8"},
+                                train=False, serving=True)
+    _, variables = _init_and_apply(q, x)
+    base = {"params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {})}
+    quant = calibrate_quant(q, base["params"], base["batch_stats"], [x])
+
+    def n_reduces(variables):
+        fn = lambda v, x: q.apply(v, x, train=False)["seg_logits"]
+        txt = jax.jit(fn).lower(variables, x).as_text()
+        return txt.count("reduce(")
+    dyn, sta = n_reduces(base), n_reduces({**base, "quant": quant})
+    assert sta < dyn, (sta, dyn)
+
+
 def test_training_build_ignores_quantize():
     model = build_model_from_config({**RESNET_CFG, "quantize": "int8"},
                                     train=True)

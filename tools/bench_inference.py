@@ -24,6 +24,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--int8", action="store_true",
                     help="serve the dynamically int8-quantized model")
+    ap.add_argument("--static", action="store_true",
+                    help="with --int8: calibrate static activation scales "
+                         "first (utils/calibrate.py) — removes the "
+                         "per-layer absmax reductions")
     args = ap.parse_args()
 
     import jax
@@ -39,10 +43,23 @@ def main():
     model = build_model_from_config(config, train=False, serving=True)
     state = init_model_state(model, config, 0)
 
+    quant = None
+    if args.static:
+        assert args.int8, "--static needs --int8"
+        from semi_seg_ecg_tpu.utils.calibrate import calibrate_quant
+
+        cal_rng = np.random.default_rng(1)
+        quant = calibrate_quant(
+            model, state.params, state.batch_stats,
+            (jnp.asarray(cal_rng.standard_normal((16, 1, 2500)),
+                         jnp.float32) for _ in range(4)))
+
     @jax.jit
     def infer(params, batch_stats, x):
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          x, train=False)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, x, train=False)
         return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
 
     rng = np.random.default_rng(0)

@@ -107,7 +107,7 @@ def capture(steps: int, scan_k: int, logdir: str, augment: bool = False,
 
 
 def capture_inference(steps: int, logdir: str, batch: int = 256,
-                      int8: bool = False):
+                      int8: bool = False, static: bool = False):
     """Trace the serving forward (eval-mode flagship + softmax) — the
     program tools/bench_inference.py times; returns wall s/call.
 
@@ -128,10 +128,23 @@ def capture_inference(steps: int, logdir: str, batch: int = 256,
     model = build_model_from_config(config, train=False, serving=True)
     state = init_model_state(model, config, 0)
 
+    quant = None
+    if static:
+        assert int8, "--static profiles the calibrated int8 graph"
+        from semi_seg_ecg_tpu.utils.calibrate import calibrate_quant
+
+        cal_rng = np.random.default_rng(1)
+        quant = calibrate_quant(
+            model, state.params, state.batch_stats,
+            (jnp.asarray(cal_rng.standard_normal((16, 1, 2500)),
+                         jnp.float32) for _ in range(4)))
+
     @jax.jit
     def infer(params, batch_stats, x):
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          x, train=False)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, x, train=False)
         return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
 
     rng = np.random.default_rng(0)
@@ -230,6 +243,8 @@ def main():
                          "+ softmax) instead of the train step")
     ap.add_argument("--int8", action="store_true",
                     help="with --inference: the dynamically quantized model")
+    ap.add_argument("--static", action="store_true",
+                    help="with --int8: calibrated static activation scales")
     ap.add_argument("--tool", default="hlo_stats")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--out", default=None,
@@ -249,7 +264,8 @@ def main():
     try:
         if args.inference:
             wall_per_step, calls = capture_inference(
-                args.steps, logdir, batch=args.batch, int8=args.int8)
+                args.steps, logdir, batch=args.batch, int8=args.int8,
+                static=args.static)
         else:
             wall_per_step, calls = capture(args.steps, args.scan, logdir,
                                            augment=args.augment,
