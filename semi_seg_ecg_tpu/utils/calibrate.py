@@ -36,15 +36,24 @@ def calibrate_quant(model, params, batch_stats,
         out = model.apply({"params": params, "batch_stats": batch_stats,
                            "quant": quant}, x, train=False)
     """
+    import jax
+
+    # jitted: an eager apply is thousands of per-op dispatches on a
+    # remote accelerator. Two traces total (first batch has no quant
+    # collection yet; subsequent batches thread it through).
+    @jax.jit
+    def step(variables, x):
+        _, updated = model.apply(variables, x, train=False,
+                                 mutable=["quant"])
+        return updated["quant"]
+
     quant = None
     n = 0
     for x in batches:
         variables = {"params": params, "batch_stats": batch_stats}
         if quant is not None:
             variables["quant"] = quant
-        _, updated = model.apply(variables, x, train=False,
-                                 mutable=["quant"])
-        quant = updated["quant"]
+        quant = step(variables, x)
         n += 1
     if n == 0:
         raise ValueError("calibrate_quant needs at least one batch")
