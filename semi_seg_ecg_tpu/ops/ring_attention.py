@@ -123,49 +123,173 @@ def _fold_chunk(q, k_blk, v_blk, kmask, o, m, l, *, scale, mm_dtype, blk):
     return o, m, l
 
 
+def _hop_grads(q, dout, lse, dd, k_c, v_c, kmask, dq, *, scale, mm_dtype,
+               blk):
+    """Flash-backward grads for one visiting K/V chunk.
+
+    Recomputes the normalized probabilities ``P = exp(S - lse)`` from the
+    saved logsumexp and applies the standard flash-attention backward
+    (``dd = rowsum(dout * out)``):
+
+        dV_c = P^T dout,   dP = dout V_c^T,
+        dS   = P * (dP - dd) * scale,
+        dq  += dS K_c,     dK_c = dS^T q.
+
+    Key-axis sub-blocked like the forward fold; nothing here is ever
+    differentiated again, so the slab scan saves no residual stacks —
+    live memory is one (nq, blk) slab plus the accumulators.
+    Returns (dq, dk_c, dv_c); dk_c/dv_c are this device's fp32
+    contribution for the chunk currently held.
+    """
+    b, h, nk, d = k_c.shape
+
+    def slab(dq, k_sb, v_sb, msk):
+        sc = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(mm_dtype), k_sb.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(sc - lse[..., None]) * msk[None, None, None, :]
+        dv_sb = jnp.einsum(
+            "bhqk,bhqd->bhkd", p.astype(mm_dtype), dout.astype(mm_dtype),
+            preferred_element_type=jnp.float32)
+        dp = jnp.einsum(
+            "bhqd,bhkd->bhqk", dout.astype(mm_dtype), v_sb.astype(mm_dtype),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - dd[..., None]) * scale
+        dq = dq + jnp.einsum(
+            "bhqk,bhkd->bhqd", ds.astype(mm_dtype), k_sb.astype(mm_dtype),
+            preferred_element_type=jnp.float32)
+        dk_sb = jnp.einsum(
+            "bhqk,bhqd->bhkd", ds.astype(mm_dtype), q.astype(mm_dtype),
+            preferred_element_type=jnp.float32)
+        return dq, dk_sb, dv_sb
+
+    if blk >= nk:
+        dq, dk_c, dv_c = slab(dq, k_c, v_c, kmask)
+        return dq, dk_c, dv_c
+
+    nb = nk // blk
+    k_r = jnp.moveaxis(k_c.reshape(b, h, nb, blk, d), 2, 0)
+    v_r = jnp.moveaxis(v_c.reshape(b, h, nb, blk, d), 2, 0)
+    m_r = kmask.reshape(nb, blk)
+
+    def step(dq, xs):
+        k_sb, v_sb, msk = xs
+        dq, dk_sb, dv_sb = slab(dq, k_sb, v_sb, msk)
+        return dq, (dk_sb, dv_sb)
+
+    dq, (dk_r, dv_r) = lax.scan(step, dq, (k_r, v_r, m_r))
+    dk_c = jnp.moveaxis(dk_r, 0, 2).reshape(b, h, nk, d)
+    dv_c = jnp.moveaxis(dv_r, 0, 2).reshape(b, h, nk, d)
+    return dq, dk_c, dv_c
+
+
+def _make_local_ring(*, scale, mm_dtype, axis_name, ring_size,
+                     valid_tokens, blk):
+    """Per-shard ring attention with an equation-based flash backward.
+
+    The forward is the online-softmax K/V ring. The backward is a
+    ``jax.custom_vjp``: instead of differentiating through the
+    online-softmax scan (whose autodiff saves an O(nb * nq * d) carry
+    stack per hop — the 20.6 GB/device that remained at T=2^21 after
+    sub-blocking), it saves only (q, k, v, out, logsumexp) and
+    recomputes normalized score slabs on the reverse ring, with dK/dV
+    accumulators riding around the ring alongside their chunks. Exact:
+    the same rotation schedule and origin masks as the forward.
+    """
+
+    def kmask(nk, origin):
+        # chunk held after t hops originated on device (my_idx - t) mod
+        # ring_size; pad keys are the static tail of the padded global
+        # token axis, so the mask is a pure function of the chunk origin
+        return (origin * nk + jnp.arange(nk)) < valid_tokens
+
+    perm = [(i, (i + 1) % ring_size) for i in range(ring_size)]
+    fold = functools.partial(_fold_chunk, scale=scale, mm_dtype=mm_dtype,
+                             blk=blk)
+
+    def forward(q, k, v):
+        b, h, nk, d = k.shape
+        o = jnp.zeros(q.shape[:3] + (d,), jnp.float32)
+        m = jnp.full(q.shape[:3], _BIG_NEG, jnp.float32)
+        l = jnp.zeros(q.shape[:3], jnp.float32)
+        my_idx = lax.axis_index(axis_name)
+
+        # hop 0 is this device's own chunk: fold it in before any
+        # ppermute so the scan rotates exactly ring_size - 1 times
+        o, m, l = fold(q, k, v, kmask(nk, my_idx), o, m, l)
+
+        def step(carry, t):
+            o, m, l, k_c, v_c = carry
+            k_c = lax.ppermute(k_c, axis_name, perm)
+            v_c = lax.ppermute(v_c, axis_name, perm)
+            o, m, l = fold(q, k_c, v_c,
+                           kmask(nk, (my_idx - t) % ring_size), o, m, l)
+            return (o, m, l, k_c, v_c), None
+
+        (o, m, l, _, _), _ = lax.scan(
+            step, (o, m, l, k, v), jnp.arange(1, ring_size))
+        out = o / l[..., None]
+        # logsumexp of the masked scores: exp(S - lse) is the exactly
+        # normalized probability the backward recomputes per slab
+        lse = m + jnp.log(l)
+        return out, lse
+
+    @jax.custom_vjp
+    def attend(q, k, v):
+        return forward(q, k, v)[0]
+
+    def fwd(q, k, v):
+        out, lse = forward(q, k, v)
+        return out, (q, k, v, out, lse)
+
+    def bwd(res, dout):
+        q, k, v, out, lse = res
+        b, h, nk, d = k.shape
+        my_idx = lax.axis_index(axis_name)
+        dout = dout.astype(jnp.float32)
+        dd = jnp.sum(dout * out, axis=-1)  # (B, H, nq)
+        dq = jnp.zeros(q.shape, jnp.float32)
+        grads = functools.partial(_hop_grads, q, dout, lse, dd,
+                                  scale=scale, mm_dtype=mm_dtype, blk=blk)
+
+        # same rotation schedule as the forward; dK/dV accumulators ride
+        # the ring WITH their chunk, collecting every device's
+        # contribution, then one final ppermute brings them home
+        dq, dk, dv = grads(k, v, kmask(nk, my_idx), dq)
+
+        def step(carry, t):
+            dq, k_c, v_c, dk_c, dv_c = carry
+            k_c = lax.ppermute(k_c, axis_name, perm)
+            v_c = lax.ppermute(v_c, axis_name, perm)
+            dk_c = lax.ppermute(dk_c, axis_name, perm)
+            dv_c = lax.ppermute(dv_c, axis_name, perm)
+            dq, dk_h, dv_h = grads(k_c, v_c,
+                                   kmask(nk, (my_idx - t) % ring_size), dq)
+            return (dq, k_c, v_c, dk_c + dk_h, dv_c + dv_h), None
+
+        (dq, _, _, dk, dv), _ = lax.scan(
+            step, (dq, k, v, dk, dv), jnp.arange(1, ring_size))
+        # after ring_size - 1 hops the chunk (and its accumulator) of
+        # origin (my_idx + 1) sits here; one more rotation sends every
+        # accumulator to its home device
+        if ring_size > 1:
+            dk = lax.ppermute(dk, axis_name, perm)
+            dv = lax.ppermute(dv, axis_name, perm)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+    attend.defvjp(fwd, bwd)
+    return attend
+
+
 def _local_ring(q, k, v, *, scale, mm_dtype, axis_name, ring_size,
                 valid_tokens, blk):
     """Per-shard body under shard_map: q/k/v are this device's local
     (B, H, N/s, D) chunks of the padded token axis."""
-    b, h, nk, d = k.shape
-    o = jnp.zeros(q.shape[:3] + (d,), jnp.float32)
-    m = jnp.full(q.shape[:3], _BIG_NEG, jnp.float32)
-    l = jnp.zeros(q.shape[:3], jnp.float32)
-    perm = [(i, (i + 1) % ring_size) for i in range(ring_size)]
-    my_idx = lax.axis_index(axis_name)
-    offs = jnp.arange(nk)
-
-    # checkpoint the whole fold (sub-block scan included): each hop's
-    # backward recomputes its score sub-blocks from the chunk, so saved
-    # residuals per hop are O(N/s) chunk bytes, never O((N/s)^2) scores
-    update = jax.checkpoint(
-        functools.partial(_fold_chunk, scale=scale, mm_dtype=mm_dtype,
-                          blk=blk))
-
-    def kmask(origin):
-        # chunk held after t hops originated on device (my_idx - t) mod s;
-        # pad keys are the static tail of the padded global token axis,
-        # so the mask is a pure function of the chunk's origin — no need
-        # to rotate a mask array around the ring
-        return (origin * nk + offs) < valid_tokens
-
-    # hop 0 is this device's own chunk: fold it in before any ppermute so
-    # the scan rotates exactly ring_size - 1 times (a rotate-after-use
-    # loop would issue one final dead ppermute pair, doubling ring
-    # traffic — forward and its transposed reverse ring — at s = 2)
-    o, m, l = update(q, k, v, kmask(my_idx), o, m, l)
-
-    def step(carry, t):
-        o, m, l, k_c, v_c = carry
-        k_c = lax.ppermute(k_c, axis_name, perm)
-        v_c = lax.ppermute(v_c, axis_name, perm)
-        o, m, l = update(q, k_c, v_c, kmask((my_idx - t) % ring_size),
-                         o, m, l)
-        return (o, m, l, k_c, v_c), None
-
-    (o, m, l, _, _), _ = lax.scan(
-        step, (o, m, l, k, v), jnp.arange(1, ring_size))
-    return o / l[..., None]
+    return _make_local_ring(
+        scale=scale, mm_dtype=mm_dtype, axis_name=axis_name,
+        ring_size=ring_size, valid_tokens=valid_tokens, blk=blk,
+    )(q, k, v)
 
 
 def ring_attention(
