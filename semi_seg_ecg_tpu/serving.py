@@ -34,21 +34,58 @@ import numpy as np
 _MAGIC = b"ECGSHLO1"
 
 
+def _calibration_batches(config, n):
+    """First ``n`` test-split batches for int8 activation calibration."""
+    import jax.numpy as jnp
+
+    from .data.dataset import build_seg_dataset
+    from .data.loader import get_dataloader
+
+    ds = build_seg_dataset(config["dataset"], split="test")
+    loader = get_dataloader(
+        ds, mode="test", batch_size=config["dataloader"]["batch_size"],
+        seed=config.get("seed", 0), num_shards=1, num_workers=0)
+    out = []
+    for i, b in enumerate(loader):
+        if i >= n:
+            break
+        out.append(jnp.asarray(b["ecg"]))
+    return out
+
+
 def make_serving_fn(config: Dict[str, Any]):
     """``(infer, model_state)`` for a config: eval-mode model with the
     requested checkpoint restored; ``infer(ecg) -> softmax (B, C, T)``
-    with inference.py's precision rule (fp32 unless ``test.use_amp``)."""
+    with inference.py's precision rule (fp32 unless ``test.use_amp``).
+
+    ``quantize: int8`` + ``quantize_calibration: N`` calibrates static
+    activation scales on the first N test batches (utils/calibrate.py) —
+    in the export path the scales become constants baked into the
+    artifact alongside the weights."""
     import jax
     import jax.numpy as jnp
 
-    from .algorithms.common import apply_eval, load_eval_model, test_cfg
+    from .algorithms.common import load_eval_model, test_cfg
 
     if not test_cfg(config).get("use_amp", False):
         config = {**config, "precision": "fp32"}
     model, model_state = load_eval_model(config)
 
+    quant = None
+    n_cal = int(config.get("quantize_calibration", 0) or 0)
+    if config.get("quantize") == "int8" and n_cal > 0:
+        from .utils.calibrate import calibrate_quant
+
+        quant = calibrate_quant(
+            model, model_state.params, model_state.batch_stats,
+            _calibration_batches(config, n_cal))
+
     def infer(ecg):
-        out = apply_eval(model, model_state, ecg)
+        variables = {"params": model_state.params,
+                     "batch_stats": model_state.batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, ecg, train=False)
         return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
 
     return infer, model_state
@@ -98,6 +135,11 @@ def export_serving(
         "output": "softmax_probs (B, C, T) float32",
         "precision": effective_precision,
         "quantize": config.get("quantize", None),
+        "act_scales": ("static"
+                       if config.get("quantize") == "int8"
+                       and int(config.get("quantize_calibration", 0) or 0)
+                       else "dynamic" if config.get("quantize") == "int8"
+                       else None),
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
     }

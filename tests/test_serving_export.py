@@ -92,6 +92,42 @@ def test_export_int8(exported_config):
                     jnp.float32)
     probs = np.asarray(serve(x))
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+    assert header["act_scales"] == "dynamic"
+
+
+def test_export_int8_static_scales(exported_config):
+    """quantize_calibration bakes calibrated activation scales into the
+    artifact: the exported graph serves, tracks the dynamic-scale export,
+    and declares itself static in the header."""
+    config, root = exported_config
+    # calibration reads the config's test split — give it one
+    from semi_seg_ecg_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(root + "/cal_data", num_train_labeled=2,
+                                num_train_unlabeled=2, num_valid=2,
+                                num_test=4, length=SIG_LEN, seed=5)
+    config = {**config,
+              "dataset": {**ds, "signal_length": SIG_LEN},
+              "dataloader": {"batch_size": 2, "num_workers": 0}}
+    path = root + "/model-int8-static.shlo"
+    header = serving.export_serving(
+        {**config, "quantize": "int8", "quantize_calibration": 2}, path,
+        batch_size=2)
+    assert header["act_scales"] == "static"
+    dyn_path = root + "/model-int8-dyn.shlo"
+    serving.export_serving({**config, "quantize": "int8"}, dyn_path,
+                           batch_size=2)
+    serve, _ = serving.load_serving(path)
+    dyn_serve, _ = serving.load_serving(dyn_path)
+    # probe with in-distribution data (a real test-split batch): static
+    # scales are only valid for inputs distributed like the calibration
+    # traffic — that is the documented contract, not a defect
+    x = serving._calibration_batches(config, 1)[0]
+    p_sta = np.asarray(serve(x))
+    np.testing.assert_allclose(p_sta.sum(axis=1), 1.0, rtol=1e-4)
+    p_dyn = np.asarray(dyn_serve(x))
+    agree = (p_sta.argmax(axis=1) == p_dyn.argmax(axis=1)).mean()
+    assert agree > 0.9, agree
 
 
 def test_cross_platform_export(exported_config):
