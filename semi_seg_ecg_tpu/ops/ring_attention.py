@@ -19,10 +19,14 @@ memory O((N/s)^2) instead of O(N^2) and K/V resident O(N/s) per hop.
 
 Results are *exact* (not approximate): the online softmax is the same
 reassociation flash attention uses, so values match the dense path to
-numerical-reordering tolerance, and gradients flow through the scan of
-ppermutes by plain autodiff (ppermute's transpose is the reverse-ring
-ppermute). The block accumulation is wrapped in ``jax.checkpoint`` so the
-backward pass recomputes score blocks instead of saving them.
+numerical-reordering tolerance. The backward is an equation-based flash
+VJP (``_make_local_ring``), not autodiff through the online softmax —
+autodiff of the fold's scan saves an O(nb * nq * d) carry stack per hop
+that no rematerialisation can remove (measured: the difference between
+20.6 and 3.8 GB/device at T=2^21). The custom VJP saves only
+(q, k, v, out, logsumexp), recomputes normalized probability slabs on
+the same rotation schedule, and accumulates dK/dV in buffers that ride
+the ring alongside their chunks.
 
 The token count need not divide the ring: inputs are zero-padded to the
 next multiple of ``s`` and the pad keys are masked out of the softmax by
