@@ -25,6 +25,16 @@ The forward is untouched (same ``reduce_window`` HLO); the backward is
 bit-exact against ``jax.grad`` of ``nn.max_pool`` including tie routing
 (pinned in tests/test_ops.py). Double differentiation is not defined
 (custom_vjp) — nothing in the framework differentiates twice.
+
+Tried and rejected (round-4 A/B on v5e): expressing the interleave as
+three ``lax.pad``-with-interior-padding upsamples summed elementwise
+instead of ``stack + reshape``. It does eliminate the 20.5 MB
+bf16[128,626,2,64] layout-flip copy the reshape forces at B=64 (the
+size-2 stacked axis is only bitcast-mergeable in one layout), but the
+pad kernels cost more inside the surrounding loop fusions than the copy
+did: device-busy 3,017 -> 3,036 us/step, bench 21,253 -> 20,550
+samples/s. Keep the reshape form; don't re-attempt without a profile
+showing that copy on the critical path.
 """
 
 from __future__ import annotations

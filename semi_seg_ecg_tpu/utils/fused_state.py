@@ -27,6 +27,13 @@ optimum — copy-done 211 -> 151 us, concatenate 1.4 us, device-busy
 aliasing copies are latency-bound (~0.16 us each), and only the tiny
 BN/bias/3-tap leaves are numerous enough to matter.
 
+The residual 151 us of copy-done is NOT donation copies at all (round-4
+HLO audit, NOTES.md): with the hybrid state the donated update aliases
+cleanly, and what remains is XLA memory-space-assignment prefetch
+stalls — async HBM<->alternate-memory staging of the big backward
+activations — which no packing scheme can touch. Do not escalate the
+threshold chasing it.
+
 Pack/unpack are layout ops only — the arithmetic is untouched, though
 the fused program is a different XLA program so fusion choices may
 reorder reductions in the last ulp (tests/test_fused_state.py pins
