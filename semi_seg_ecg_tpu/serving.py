@@ -91,6 +91,55 @@ def make_serving_fn(config: Dict[str, Any]):
     return infer, model_state
 
 
+def long_record_inference(
+    config: Dict[str, Any],
+    ecg,
+    *,
+    batch: int = 64,
+    hop: Optional[int] = None,
+    taper: str = "hann",
+    infer: Optional[Callable] = None,
+    mesh=None,
+):
+    """Segment one arbitrarily long record (Holter/telemetry scale).
+
+    Completes the long-record story end-to-end: training scales past the
+    2,500-sample window via seq-parallel ring attention; this is the
+    inference side — the reference stops at per-window rows
+    (``src/inference.py:112-125``), while real monitor output is hours
+    long. The record is filtered ONCE at full length with the config's
+    ``dataset.filter`` chain (no window-edge filter artifacts, unlike
+    filtering pre-cut windows), then windowed at ``signal_length``,
+    per-window standardized, batched through the eval model and
+    taper-stitched entirely on device (:func:`ops.stitch.overlap_add_infer`
+    — one XLA program, one D2H fetch).
+
+    ``ecg``: ``(leads, T)`` or ``(T,)`` raw signal at the model's
+    sampling rate. ``infer`` overrides the model function (e.g. a loaded
+    export artifact's ``serve``); by default the config's best checkpoint
+    is loaded via :func:`make_serving_fn` (``quantize: int8`` honored).
+    ``mesh`` (a ``parallel.make_mesh`` mesh) fans the window scan out
+    over the data axis — N chips segment one record ~N× faster.
+    Returns ``{"probs": (C, T) float32, "labels": (T,) int32}`` numpy.
+    """
+    from .data.transforms import get_transforms_from_config
+    from .ops.stitch import overlap_add_infer
+
+    ecg = np.asarray(ecg, np.float32)
+    if ecg.ndim == 1:
+        ecg = ecg[None, :]
+    for t in (get_transforms_from_config(
+            config["dataset"].get("filter") or []) or []):
+        ecg = t(ecg)
+    if infer is None:
+        infer, _ = make_serving_fn(config)
+    window = int(config["dataset"].get("signal_length", 2500))
+    probs, labels = overlap_add_infer(
+        infer, ecg, window=window, hop=hop, batch=batch, taper=taper,
+        mesh=mesh)
+    return {"probs": np.asarray(probs), "labels": np.asarray(labels)}
+
+
 def export_serving(
     config: Dict[str, Any],
     out_path: str,
