@@ -93,8 +93,19 @@ def _build_program(infer, leads, total, window, hop, batch, taper,
         def body(carry, step):
             acc, wacc = carry
             win_ids = first_win + step * batch + jnp.arange(batch)
-            idx = (win_ids * hop)[:, None] + jnp.arange(window)[None, :]
-            win = jnp.moveaxis(record[:, idx], 1, 0)  # (B, leads, window)
+            # windowing without a gather (XLA's gather lowering on TPU is
+            # scalarized and slow — the same pathology ops/pallas/gather1d
+            # exists for): the batch's windows tile one contiguous span at
+            # uniform stride, so ONE dynamic_slice + k static strided views
+            # materialize them densely — the exact inverse of the
+            # overlap-add fold below
+            span_start = (first_win + step * batch) * hop
+            span = jax.lax.dynamic_slice(
+                record, (0, span_start), (leads, (batch + k - 1) * hop))
+            blocks = span.reshape(leads, batch + k - 1, hop)
+            win = jnp.stack([blocks[:, j:j + batch] for j in range(k)],
+                            axis=2)  # (leads, B, k, hop)
+            win = jnp.moveaxis(win.reshape(leads, batch, window), 1, 0)
             if standardize:
                 mu = win.mean(axis=(1, 2), keepdims=True)
                 sd = win.std(axis=(1, 2), keepdims=True)

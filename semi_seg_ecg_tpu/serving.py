@@ -140,6 +140,145 @@ def long_record_inference(
     return {"probs": np.asarray(probs), "labels": np.asarray(labels)}
 
 
+class StreamingSegmenter:
+    """Online (real-time) segmentation of an unbounded ECG stream.
+
+    The live-telemetry counterpart of :func:`long_record_inference`:
+    samples arrive in arbitrary-size chunks (``push``), and class
+    probabilities are finalized and returned with bounded latency — a
+    sample is emitted once the last window covering it has run, i.e.
+    worst-case latency of one ``window`` plus the chunk period. The
+    window grid, per-window standardization, taper blend and tail rule
+    are EXACTLY :mod:`ops.stitch`'s, so streaming a record chunk by
+    chunk reproduces ``overlap_add_infer``'s output (pinned in
+    tests/test_longrec_infer.py).
+
+    TPU-shaped by construction: ONE jitted step of static shapes — the
+    ``(leads, window)`` forward plus carry of the ``window - hop``
+    overlap accumulator — serves a stream of any length with no
+    recompiles and O(window) state. ``infer`` maps ``(1, leads, window)
+    -> (1, C, window)`` probabilities (:func:`make_serving_fn` or a
+    loaded artifact).
+    """
+
+    def __init__(self, infer: Callable, *, window: int,
+                 hop: Optional[int] = None, num_leads: int = 1,
+                 taper: str = "hann", standardize: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.stitch import _taper
+
+        hop = window // 2 if hop is None else hop
+        if window % hop != 0:
+            raise ValueError(f"hop ({hop}) must divide window ({window})")
+        self.window, self.hop, self.leads = window, hop, num_leads
+        out = jax.eval_shape(infer, jax.ShapeDtypeStruct(
+            (1, num_leads, window), np.float32))
+        self.num_classes = int(out.shape[1])
+        wvec = jnp.asarray(_taper(window, taper))
+
+        def step(win, acc_carry, wacc_carry):
+            # win: (leads, window) raw samples; carries: accumulated
+            # contributions to the window-hop overlap samples from
+            # earlier windows
+            if standardize:
+                mu, sd = win.mean(), win.std()
+                win = jnp.where(sd != 0.0,
+                                (win - mu) / jnp.where(sd != 0.0, sd, 1.0),
+                                0.0)
+            probs = infer(win[None]).astype(jnp.float32)[0]  # (C, window)
+            acc = jnp.pad(acc_carry, ((0, 0), (0, hop))) + probs * wvec
+            wacc = jnp.pad(wacc_carry, (0, hop)) + wvec
+            out = acc[:, :hop] / jnp.maximum(wacc[:hop], 1e-8)
+            return (out, jnp.argmax(out, axis=0).astype(jnp.int32),
+                    acc[:, hop:], wacc[hop:])
+
+        self._step = jax.jit(step)
+        self.reset()
+
+    def reset(self):
+        self._buf = np.zeros((self.leads, 0), np.float32)  # unprocessed
+        self._last = np.zeros((self.leads, 0), np.float32)  # reflect source
+        self._acc = np.zeros((self.num_classes, self.window - self.hop),
+                             np.float32)
+        self._wacc = np.zeros(self.window - self.hop, np.float32)
+        self._total = 0  # samples pushed
+        self._emitted = 0  # samples finalized
+
+    def _run_window(self, win):
+        out, labels, acc, wacc = self._step(win, self._acc, self._wacc)
+        self._acc, self._wacc = acc, wacc
+        return np.asarray(out), np.asarray(labels)
+
+    def push(self, chunk):
+        """Feed ``(leads, n)`` (or ``(n,)``) samples; returns
+        ``(probs, labels)`` for the samples finalized by this chunk —
+        possibly zero-length arrays."""
+        chunk = np.asarray(chunk, np.float32)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        if chunk.shape[0] != self.leads:
+            raise ValueError(f"expected {self.leads} leads, "
+                             f"got shape {chunk.shape}")
+        self._total += chunk.shape[1]
+        self._buf = np.concatenate([self._buf, chunk], axis=1)
+        self._last = np.concatenate([self._last, chunk],
+                                    axis=1)[:, -self.window:]
+        probs_out, labels_out = [], []
+        while self._buf.shape[1] >= self.window:
+            p, l = self._run_window(self._buf[:, :self.window])
+            probs_out.append(p)
+            labels_out.append(l)
+            self._buf = self._buf[:, self.hop:]
+            self._emitted += self.hop
+        if not probs_out:
+            return (np.zeros((self.num_classes, 0), np.float32),
+                    np.zeros(0, np.int32))
+        return np.concatenate(probs_out, axis=1), np.concatenate(labels_out)
+
+    def flush(self):
+        """End of stream: run the remaining tail windows (content-padded
+        with the same reflect/edge rule as the offline stitcher) and
+        return ``(probs, labels)`` for all not-yet-finalized samples up
+        to the stream length. The segmenter then resets."""
+        import math
+
+        total, window, hop = self._total, self.window, self.hop
+        if total < 1:
+            self.reset()
+            return (np.zeros((self.num_classes, 0), np.float32),
+                    np.zeros(0, np.int32))
+        n_win = max(0, math.ceil((total - window) / hop)) + 1
+        reach = (n_win - 1) * hop + window
+        pad = reach - total
+        if pad > 0:
+            if pad < total:  # reflect from the retained tail (pad < window)
+                src = self._last[:, -(pad + 1):-1]
+                ext = src[:, ::-1]
+            else:  # tiny record: edge values
+                ext = np.repeat(self._last[:, -1:], pad, axis=1)
+            self._buf = np.concatenate([self._buf, ext], axis=1)
+        probs_out, labels_out = [], []
+        n_run = (self._emitted // hop)
+        for i in range(n_run, n_win):
+            p, l = self._run_window(self._buf[:, :window])
+            probs_out.append(p)
+            labels_out.append(l)
+            self._buf = self._buf[:, hop:]
+        # the final window's trailing overlap is covered by no later
+        # window: normalize the carry directly
+        tail = np.asarray(self._acc) / np.maximum(np.asarray(self._wacc),
+                                                  1e-8)
+        probs_out.append(tail)
+        labels_out.append(tail.argmax(axis=0).astype(np.int32))
+        probs = np.concatenate(probs_out, axis=1)
+        labels = np.concatenate(labels_out)
+        keep = total - self._emitted
+        self.reset()
+        return probs[:, :keep], labels[:keep]
+
+
 def export_serving(
     config: Dict[str, Any],
     out_path: str,

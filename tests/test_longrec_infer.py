@@ -165,6 +165,66 @@ def test_sharded_stitch_short_record_idle_ranks():
                                _oracle(ecg, WINDOW, WINDOW // 2), atol=2e-5)
 
 
+def test_streaming_matches_batch_stitcher():
+    """StreamingSegmenter fed arbitrary-size chunks reproduces the
+    offline overlap_add_infer output — same grid, taper, standardization
+    and tail rule — across overlap factors and ragged lengths."""
+    from semi_seg_ecg_tpu.serving import StreamingSegmenter
+
+    rng = np.random.default_rng(8)
+    for hop in (WINDOW, WINDOW // 2, WINDOW // 4):
+        for total in (WINDOW - 5, 2 * WINDOW, 3 * WINDOW + 7):
+            ecg = rng.standard_normal((LEADS, total)).astype(np.float32)
+            want, want_labels = stitch.overlap_add_infer(
+                _fake_infer, ecg, window=WINDOW, hop=hop, batch=3)
+            seg = StreamingSegmenter(_fake_infer, window=WINDOW, hop=hop,
+                                     num_leads=LEADS)
+            got_p, got_l = [], []
+            off = 0
+            while off < total:
+                n = int(rng.integers(1, 23))
+                p, l = seg.push(ecg[:, off:off + n])
+                got_p.append(p)
+                got_l.append(l)
+                off += n
+            p, l = seg.flush()
+            got_p.append(p)
+            got_l.append(l)
+            probs = np.concatenate(got_p, axis=1)
+            labels = np.concatenate(got_l)
+            assert probs.shape == (C, total), (hop, total, probs.shape)
+            np.testing.assert_allclose(
+                probs, np.asarray(want), atol=2e-6,
+                err_msg=f"hop={hop} total={total}")
+            np.testing.assert_array_equal(labels, probs.argmax(axis=0))
+            np.testing.assert_array_equal(labels, np.asarray(want_labels))
+
+
+def test_streaming_latency_bound_and_reuse():
+    """Samples finalize within one window of arrival; flush resets the
+    segmenter for the next stream."""
+    from semi_seg_ecg_tpu.serving import StreamingSegmenter
+
+    rng = np.random.default_rng(9)
+    seg = StreamingSegmenter(_fake_infer, window=WINDOW, hop=WINDOW // 2,
+                             num_leads=LEADS)
+    emitted = 0
+    for i in range(6):
+        p, _ = seg.push(rng.standard_normal((LEADS, 16)).astype(np.float32))
+        emitted += p.shape[1]
+        pushed = 16 * (i + 1)
+        assert pushed - emitted <= WINDOW, (pushed, emitted)
+    seg.flush()
+    # stream 2 after reset: same results as a fresh stream
+    ecg = rng.standard_normal((LEADS, 2 * WINDOW)).astype(np.float32)
+    p1, _ = seg.push(ecg)
+    f1, _ = seg.flush()
+    want, _ = stitch.overlap_add_infer(_fake_infer, ecg, window=WINDOW,
+                                       hop=WINDOW // 2, batch=2)
+    np.testing.assert_allclose(np.concatenate([p1, f1], axis=1),
+                               np.asarray(want), atol=2e-6)
+
+
 def test_hop_must_divide_window():
     with pytest.raises(ValueError, match="must divide"):
         stitch.plan_windows(100, WINDOW, 10, 4)
