@@ -154,16 +154,25 @@ class StreamingSegmenter:
     tests/test_longrec_infer.py).
 
     TPU-shaped by construction: ONE jitted step of static shapes — the
-    ``(leads, window)`` forward plus carry of the ``window - hop``
-    overlap accumulator — serves a stream of any length with no
-    recompiles and O(window) state. ``infer`` maps ``(1, leads, window)
-    -> (1, C, window)`` probabilities (:func:`make_serving_fn` or a
-    loaded artifact).
+    windowed forward plus carry of the ``window - hop`` overlap
+    accumulator — serves a stream of any length with no recompiles and
+    O(window) state. ``infer`` maps ``(B, leads, window) -> (B, C,
+    window)`` probabilities (:func:`make_serving_fn` or a loaded
+    artifact).
+
+    ``num_streams`` batches S concurrent live streams through the same
+    step — the batch dimension IS the stream dimension, so a monitoring
+    fleet rides the MXU at serving-batch efficiency. Streams advance in
+    lockstep (``push`` takes ``(S, leads, n)``; a frontend tick
+    aggregates one chunk per stream); per-stream standardization and
+    overlap carries are independent, so each stream's output is
+    identical to running it alone (pinned in tests).
     """
 
     def __init__(self, infer: Callable, *, window: int,
                  hop: Optional[int] = None, num_leads: int = 1,
-                 taper: str = "hann", standardize: bool = True):
+                 taper: str = "hann", standardize: bool = True,
+                 num_streams: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -172,70 +181,94 @@ class StreamingSegmenter:
         hop = window // 2 if hop is None else hop
         if window % hop != 0:
             raise ValueError(f"hop ({hop}) must divide window ({window})")
+        if num_streams < 1:
+            raise ValueError("num_streams must be >= 1")
         self.window, self.hop, self.leads = window, hop, num_leads
+        self.num_streams = num_streams
         out = jax.eval_shape(infer, jax.ShapeDtypeStruct(
-            (1, num_leads, window), np.float32))
+            (num_streams, num_leads, window), np.float32))
         self.num_classes = int(out.shape[1])
         wvec = jnp.asarray(_taper(window, taper))
 
         def step(win, acc_carry, wacc_carry):
-            # win: (leads, window) raw samples; carries: accumulated
-            # contributions to the window-hop overlap samples from
-            # earlier windows
+            # win: (S, leads, window) raw samples; acc_carry (S, C,
+            # window-hop): accumulated contributions to the overlap
+            # samples from earlier windows; wacc_carry (window-hop,):
+            # their taper weights (data-independent, shared by streams)
             if standardize:
-                mu, sd = win.mean(), win.std()
+                mu = win.mean(axis=(1, 2), keepdims=True)
+                sd = win.std(axis=(1, 2), keepdims=True)
                 win = jnp.where(sd != 0.0,
                                 (win - mu) / jnp.where(sd != 0.0, sd, 1.0),
                                 0.0)
-            probs = infer(win[None]).astype(jnp.float32)[0]  # (C, window)
-            acc = jnp.pad(acc_carry, ((0, 0), (0, hop))) + probs * wvec
+            probs = infer(win).astype(jnp.float32)  # (S, C, window)
+            acc = jnp.pad(acc_carry,
+                          ((0, 0), (0, 0), (0, hop))) + probs * wvec
             wacc = jnp.pad(wacc_carry, (0, hop)) + wvec
-            out = acc[:, :hop] / jnp.maximum(wacc[:hop], 1e-8)
-            return (out, jnp.argmax(out, axis=0).astype(jnp.int32),
-                    acc[:, hop:], wacc[hop:])
+            out = acc[:, :, :hop] / jnp.maximum(wacc[:hop], 1e-8)
+            return (out, jnp.argmax(out, axis=1).astype(jnp.int32),
+                    acc[:, :, hop:], wacc[hop:])
 
+        self._step_fn = step  # unjitted: benchmarks scan it (one dispatch/K)
         self._step = jax.jit(step)
         self.reset()
 
     def reset(self):
-        self._buf = np.zeros((self.leads, 0), np.float32)  # unprocessed
-        self._last = np.zeros((self.leads, 0), np.float32)  # reflect source
-        self._acc = np.zeros((self.num_classes, self.window - self.hop),
+        S = self.num_streams
+        self._buf = np.zeros((S, self.leads, 0), np.float32)  # unprocessed
+        self._last = np.zeros((S, self.leads, 0), np.float32)  # reflect src
+        self._acc = np.zeros((S, self.num_classes, self.window - self.hop),
                              np.float32)
         self._wacc = np.zeros(self.window - self.hop, np.float32)
-        self._total = 0  # samples pushed
-        self._emitted = 0  # samples finalized
+        self._total = 0  # samples pushed per stream
+        self._emitted = 0  # samples finalized per stream
+
+    def _squeeze(self, probs, labels):
+        if self.num_streams == 1:
+            return probs[0], labels[0]
+        return probs, labels
 
     def _run_window(self, win):
         out, labels, acc, wacc = self._step(win, self._acc, self._wacc)
         self._acc, self._wacc = acc, wacc
         return np.asarray(out), np.asarray(labels)
 
+    def _empty(self):
+        S = self.num_streams
+        return self._squeeze(np.zeros((S, self.num_classes, 0), np.float32),
+                             np.zeros((S, 0), np.int32))
+
     def push(self, chunk):
-        """Feed ``(leads, n)`` (or ``(n,)``) samples; returns
+        """Feed ``n`` new samples per stream — ``(S, leads, n)``; with
+        ``num_streams == 1`` also ``(leads, n)`` or ``(n,)``. Returns
         ``(probs, labels)`` for the samples finalized by this chunk —
-        possibly zero-length arrays."""
+        ``(S, C, m)`` / ``(S, m)``, leading axis squeezed for a single
+        stream, possibly with m == 0."""
         chunk = np.asarray(chunk, np.float32)
-        if chunk.ndim == 1:
-            chunk = chunk[None]
-        if chunk.shape[0] != self.leads:
-            raise ValueError(f"expected {self.leads} leads, "
+        if self.num_streams == 1:
+            if chunk.ndim == 1:
+                chunk = chunk[None]
+            if chunk.ndim == 2:
+                chunk = chunk[None]
+        want = (self.num_streams, self.leads)
+        if chunk.ndim != 3 or chunk.shape[:2] != want:
+            raise ValueError(f"expected (streams, leads, n) = (*{want}, n), "
                              f"got shape {chunk.shape}")
-        self._total += chunk.shape[1]
-        self._buf = np.concatenate([self._buf, chunk], axis=1)
+        self._total += chunk.shape[2]
+        self._buf = np.concatenate([self._buf, chunk], axis=2)
         self._last = np.concatenate([self._last, chunk],
-                                    axis=1)[:, -self.window:]
+                                    axis=2)[:, :, -self.window:]
         probs_out, labels_out = [], []
-        while self._buf.shape[1] >= self.window:
-            p, l = self._run_window(self._buf[:, :self.window])
+        while self._buf.shape[2] >= self.window:
+            p, l = self._run_window(self._buf[:, :, :self.window])
             probs_out.append(p)
             labels_out.append(l)
-            self._buf = self._buf[:, self.hop:]
+            self._buf = self._buf[:, :, self.hop:]
             self._emitted += self.hop
         if not probs_out:
-            return (np.zeros((self.num_classes, 0), np.float32),
-                    np.zeros(0, np.int32))
-        return np.concatenate(probs_out, axis=1), np.concatenate(labels_out)
+            return self._empty()
+        return self._squeeze(np.concatenate(probs_out, axis=2),
+                             np.concatenate(labels_out, axis=1))
 
     def flush(self):
         """End of stream: run the remaining tail windows (content-padded
@@ -247,36 +280,34 @@ class StreamingSegmenter:
         total, window, hop = self._total, self.window, self.hop
         if total < 1:
             self.reset()
-            return (np.zeros((self.num_classes, 0), np.float32),
-                    np.zeros(0, np.int32))
+            return self._empty()
         n_win = max(0, math.ceil((total - window) / hop)) + 1
         reach = (n_win - 1) * hop + window
         pad = reach - total
         if pad > 0:
             if pad < total:  # reflect from the retained tail (pad < window)
-                src = self._last[:, -(pad + 1):-1]
-                ext = src[:, ::-1]
+                ext = self._last[:, :, -(pad + 1):-1][:, :, ::-1]
             else:  # tiny record: edge values
-                ext = np.repeat(self._last[:, -1:], pad, axis=1)
-            self._buf = np.concatenate([self._buf, ext], axis=1)
+                ext = np.repeat(self._last[:, :, -1:], pad, axis=2)
+            self._buf = np.concatenate([self._buf, ext], axis=2)
         probs_out, labels_out = [], []
         n_run = (self._emitted // hop)
         for i in range(n_run, n_win):
-            p, l = self._run_window(self._buf[:, :window])
+            p, l = self._run_window(self._buf[:, :, :window])
             probs_out.append(p)
             labels_out.append(l)
-            self._buf = self._buf[:, hop:]
+            self._buf = self._buf[:, :, hop:]
         # the final window's trailing overlap is covered by no later
         # window: normalize the carry directly
         tail = np.asarray(self._acc) / np.maximum(np.asarray(self._wacc),
                                                   1e-8)
         probs_out.append(tail)
-        labels_out.append(tail.argmax(axis=0).astype(np.int32))
-        probs = np.concatenate(probs_out, axis=1)
-        labels = np.concatenate(labels_out)
+        labels_out.append(tail.argmax(axis=1).astype(np.int32))
+        probs = np.concatenate(probs_out, axis=2)
+        labels = np.concatenate(labels_out, axis=1)
         keep = total - self._emitted
         self.reset()
-        return probs[:, :keep], labels[:keep]
+        return self._squeeze(probs[:, :, :keep], labels[:, :keep])
 
 
 def export_serving(

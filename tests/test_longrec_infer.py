@@ -225,6 +225,38 @@ def test_streaming_latency_bound_and_reuse():
                                np.asarray(want), atol=2e-6)
 
 
+def test_multi_stream_lockstep_independence():
+    """num_streams=S batches concurrent streams through one step; each
+    stream's output is identical to running it alone."""
+    from semi_seg_ecg_tpu.serving import StreamingSegmenter
+
+    rng = np.random.default_rng(10)
+    S, total = 3, 2 * WINDOW + 9
+    ecgs = rng.standard_normal((S, LEADS, total)).astype(np.float32)
+    seg = StreamingSegmenter(_fake_infer, window=WINDOW, hop=WINDOW // 2,
+                             num_leads=LEADS, num_streams=S)
+    got_p, got_l = [], []
+    off = 0
+    while off < total:
+        n = min(19, total - off)
+        p, l = seg.push(ecgs[:, :, off:off + n])
+        got_p.append(p)
+        got_l.append(l)
+        off += n
+    p, l = seg.flush()
+    got_p.append(p)
+    got_l.append(l)
+    probs = np.concatenate(got_p, axis=2)
+    labels = np.concatenate(got_l, axis=1)
+    assert probs.shape == (S, C, total)
+    for s in range(S):
+        want, want_l = stitch.overlap_add_infer(
+            _fake_infer, ecgs[s], window=WINDOW, hop=WINDOW // 2, batch=2)
+        np.testing.assert_allclose(probs[s], np.asarray(want), atol=2e-6,
+                                   err_msg=f"stream {s}")
+        np.testing.assert_array_equal(labels[s], np.asarray(want_l))
+
+
 def test_hop_must_divide_window():
     with pytest.raises(ValueError, match="must divide"):
         stitch.plan_windows(100, WINDOW, 10, 4)
