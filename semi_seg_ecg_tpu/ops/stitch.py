@@ -30,7 +30,8 @@ window seams.
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Tuple
+from collections import OrderedDict
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,10 +71,13 @@ def plan_windows(total: int, window: int, hop: int,
     return n_win, n_win_pad, n_blocks, n_blocks * hop
 
 
-# Compiled programs keyed by (infer identity, record geometry). Entries hold
-# a reference to ``infer`` for the life of the process — the intended use is
-# a handful of serving models × record-length buckets, not unbounded churn.
-_PROGRAMS: Dict[tuple, Callable] = {}
+# Compiled programs keyed by (infer identity, record geometry) — a bounded
+# LRU: entries hold a reference to ``infer`` (and thus its weights), so a
+# caller that builds a fresh closure per record (e.g.
+# ``long_record_inference(config, ...)`` in a loop) must not grow device
+# memory without bound. Reuse one ``infer`` across records to actually hit.
+_PROGRAMS: "OrderedDict[tuple, tuple]" = OrderedDict()
+_PROGRAMS_MAX = 32
 
 
 def _build_program(infer, leads, total, window, hop, batch, taper,
@@ -219,15 +223,19 @@ def overlap_add_infer(infer: Callable, ecg, *, window: int,
                   mode="reflect" if content_pad < total else "edge")
     ecg = jnp.pad(ecg, ((0, 0), (0, padded - total - content_pad)))
 
-    out = jax.eval_shape(
-        infer, jax.ShapeDtypeStruct((batch, leads, window), jnp.float32))
-    num_classes = out.shape[1]
     key = (id(infer), leads, total, window, hop, batch, taper,
-           bool(standardize), num_classes,
-           id(mesh) if mesh is not None else None)
-    prog = _PROGRAMS.get(key)
-    if prog is None:
+           bool(standardize), id(mesh) if mesh is not None else None)
+    entry = _PROGRAMS.get(key)
+    if entry is None:
+        out = jax.eval_shape(
+            infer, jax.ShapeDtypeStruct((batch, leads, window), jnp.float32))
         prog = _build_program(infer, leads, total, window, hop, batch,
-                              taper, standardize, num_classes, mesh=mesh)
-        _PROGRAMS[key] = prog
-    return prog(ecg)
+                              taper, standardize, out.shape[1], mesh=mesh)
+        # keep `infer` alive alongside its program: id() keys are only
+        # valid while the object lives
+        _PROGRAMS[key] = entry = (prog, infer)
+        while len(_PROGRAMS) > _PROGRAMS_MAX:
+            _PROGRAMS.popitem(last=False)
+    else:
+        _PROGRAMS.move_to_end(key)
+    return entry[0](ecg)

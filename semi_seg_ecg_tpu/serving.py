@@ -117,9 +117,17 @@ def long_record_inference(
     ``ecg``: ``(leads, T)`` or ``(T,)`` raw signal at the model's
     sampling rate. ``infer`` overrides the model function (e.g. a loaded
     export artifact's ``serve``); by default the config's best checkpoint
-    is loaded via :func:`make_serving_fn` (``quantize: int8`` honored).
+    is loaded via :func:`make_serving_fn` (``quantize: int8`` honored) —
+    when segmenting MANY records, build ``infer`` once and pass it, or
+    every call pays the checkpoint load and compiles a fresh program
+    (the engine's program cache keys on the ``infer`` object).
     ``mesh`` (a ``parallel.make_mesh`` mesh) fans the window scan out
     over the data axis — N chips segment one record ~N× faster.
+    Per-window standardization follows the config's
+    ``dataset.transforms`` (applied iff a ``standardize`` entry is
+    present, as in every shipped recipe — axes other than the full
+    ``[-1, -2]`` window are not representable per-window and are
+    rejected).
     Returns ``{"probs": (C, T) float32, "labels": (T,) int32}`` numpy.
     """
     from .data.transforms import get_transforms_from_config
@@ -131,12 +139,24 @@ def long_record_inference(
     for t in (get_transforms_from_config(
             config["dataset"].get("filter") or []) or []):
         ecg = t(ecg)
+    standardize = False
+    for entry in config["dataset"].get("transforms") or []:
+        name = entry if isinstance(entry, str) else next(iter(entry))
+        if name == "standardize":
+            axis = (entry.get("standardize") or {}).get("axis", (-1, -2)) \
+                if isinstance(entry, dict) else (-1, -2)
+            axis = tuple(axis) if isinstance(axis, (list, tuple)) else (axis,)
+            if axis not in ((-1, -2), (-2, -1)):
+                raise ValueError(
+                    f"long_record_inference: per-window standardize over "
+                    f"axis {axis} is not supported (whole-window axes only)")
+            standardize = True
     if infer is None:
         infer, _ = make_serving_fn(config)
     window = int(config["dataset"].get("signal_length", 2500))
     probs, labels = overlap_add_infer(
         infer, ecg, window=window, hop=hop, batch=batch, taper=taper,
-        mesh=mesh)
+        standardize=standardize, mesh=mesh)
     return {"probs": np.asarray(probs), "labels": np.asarray(labels)}
 
 
@@ -275,13 +295,16 @@ class StreamingSegmenter:
         with the same reflect/edge rule as the offline stitcher) and
         return ``(probs, labels)`` for all not-yet-finalized samples up
         to the stream length. The segmenter then resets."""
-        import math
+        from .ops.stitch import plan_windows
 
         total, window, hop = self._total, self.window, self.hop
         if total < 1:
             self.reset()
             return self._empty()
-        n_win = max(0, math.ceil((total - window) / hop)) + 1
+        # the offline engine owns the window-grid/tail rule; batch=1 — the
+        # batch-rounding padding windows it adds carry zero weight there
+        # and do not exist here
+        n_win, _, _, _ = plan_windows(total, window, hop, 1)
         reach = (n_win - 1) * hop + window
         pad = reach - total
         if pad > 0:

@@ -284,6 +284,8 @@ def test_long_record_inference_end_to_end(tmp_path):
                 {"highpass_filter": {"fs": 250, "cutoff": 0.67}},
                 {"lowpass_filter": {"fs": 250, "cutoff": 40}},
             ],
+            "transforms": [{"standardize": {"axis": [-1, -2]}},
+                           {"to_tensor": {"dtype": "float"}}],
         },
         "test": {"model_path": str(tmp_path / "model.ckpt"),
                  "target_metric": "MeanIoU"},

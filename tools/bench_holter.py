@@ -69,15 +69,28 @@ def main():
     model = build_model_from_config(config, train=False, serving=True)
     state = init_model_state(model, config, 0)
 
+    record_np = synth_record(args.hours)
+
     quant = None
     if args.int8:
         from semi_seg_ecg_tpu.utils.calibrate import calibrate_quant
 
-        cal_rng = np.random.default_rng(1)
-        quant = calibrate_quant(
-            model, state.params, state.batch_stats,
-            (jnp.asarray(cal_rng.standard_normal((16, 1, WINDOW)),
-                         jnp.float32) for _ in range(4)))
+        def _cal_batches(n_batches=4, per=16):
+            # calibrate on what the model will actually see: standardized
+            # windows sliced from the record (modulo for short records)
+            n_avail = max(1, record_np.shape[1] // WINDOW)
+            for b in range(n_batches):
+                wins = np.stack([
+                    record_np[:, ((b * per + i) % n_avail) * WINDOW:
+                              (((b * per + i) % n_avail) + 1) * WINDOW]
+                    for i in range(per)])
+                mu = wins.mean(axis=(1, 2), keepdims=True)
+                sd = wins.std(axis=(1, 2), keepdims=True)
+                yield jnp.asarray((wins - mu) / np.where(sd == 0, 1, sd),
+                                  jnp.float32)
+
+        quant = calibrate_quant(model, state.params, state.batch_stats,
+                                _cal_batches())
 
     def infer(x):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -86,7 +99,7 @@ def main():
         out = model.apply(variables, x, train=False)
         return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
 
-    record = jnp.asarray(synth_record(args.hours))
+    record = jnp.asarray(record_np)
     total = record.shape[1]
     n_win, _, _, _ = plan_windows(total, WINDOW, args.hop, args.batch)
     print(f"record: {args.hours:g} h = {total:,} samples; "
