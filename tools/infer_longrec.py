@@ -67,6 +67,14 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--taper", choices=("hann", "flat"), default="hann")
     p.add_argument("--out-dir", default=".")
+    p.add_argument("--intervals", action="store_true",
+                   help="also write intervals.csv: per-wave [onset, offset) "
+                        "runs extracted from the label field "
+                        "(ops/delineation.py)")
+    p.add_argument("--fs", type=float, default=250.0,
+                   help="sampling rate for the intervals' second columns")
+    p.add_argument("--min-duration-ms", type=float, default=20.0,
+                   help="drop wave runs shorter than this (blip filter)")
     args = p.parse_args(argv)
 
     from semi_seg_ecg_tpu.config import load_config, normalize_config, test_cfg
@@ -101,6 +109,22 @@ def main(argv=None):
           " ".join(f"c{i}={f:.3f}" for i, f in enumerate(frac)))
     print(f"wrote {probs_path} {out['probs'].shape}, "
           f"{labels_path} {out['labels'].shape}")
+    if args.intervals:
+        from semi_seg_ecg_tpu.ops.delineation import labels_to_intervals
+
+        iv = labels_to_intervals(
+            out["labels"],
+            min_duration=max(1, int(round(args.min_duration_ms * args.fs
+                                          / 1000.0))))
+        iv_path = os.path.join(args.out_dir, "intervals.csv")
+        with open(iv_path, "w") as f:
+            f.write("class,onset,offset,onset_s,offset_s\n")
+            for c in sorted(iv):
+                for onset, offset in iv[c]:
+                    f.write(f"{c},{onset},{offset},"
+                            f"{onset / args.fs:.4f},{offset / args.fs:.4f}\n")
+        n = sum(len(v) for v in iv.values())
+        print(f"wrote {iv_path}: {n} wave intervals")
 
 
 if __name__ == "__main__":
