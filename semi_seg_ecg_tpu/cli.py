@@ -39,3 +39,126 @@ def inference_main(argv=None):
     config = parse_eval_args(argv if argv is not None else sys.argv[1:],
                              prog="ECG segmentation inference")
     run_inference(config)
+
+
+def load_record(path: str):
+    """(leads, T) float32 from .npy / .pkl / WFDB (.hea or basename)."""
+    import os
+    import pickle
+
+    import numpy as np
+
+    if path.endswith(".npy"):
+        x = np.load(path, allow_pickle=False)
+    elif path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            x = np.asarray(pickle.load(f))
+    elif path.endswith(".hea") or os.path.exists(path + ".hea"):
+        from .data.wfdb_io import rdrecord
+
+        rec = rdrecord(path)
+        x = np.nan_to_num(rec.p_signal).T  # (n_sig, sig_len)
+    else:
+        raise SystemExit(f"unrecognized record format: {path} "
+                         "(expected .npy, .pkl, or a WFDB .hea)")
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    if x.ndim != 2:
+        raise SystemExit(f"record must be 1-D or 2-D, got shape {x.shape}")
+    # heuristically fix (T, leads) layouts: records are long, lead counts tiny
+    if x.shape[0] > x.shape[1]:
+        x = x.T
+    return x
+
+
+def infer_longrec_main(argv=None):
+    """Segment one RAW record of any length (Holter/telemetry scale).
+
+    The reference's inference entry only consumes pre-cut test-split
+    windows (src/inference.py:112-125); this CLI takes .npy/.pkl/WFDB
+    records and runs ``serving.long_record_inference`` — full-length
+    filtering, on-device windowing + per-window standardization +
+    taper-stitched batched forward (one XLA program) — writing
+    ``probs.npy`` (C, T), ``labels.npy`` (T,), and optionally
+    ``intervals.csv`` (``--intervals``, ops/delineation.py).
+    """
+    import argparse
+    import os
+
+    import numpy as np
+
+    p = argparse.ArgumentParser(
+        "Long-record ECG segmentation",
+        description=infer_longrec_main.__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("-f", "--config_path", required=True)
+    p.add_argument("-o", "--override_config_path", default=None)
+    p.add_argument("--model_path", default="",
+                   help="checkpoint to load (default: the config's best-*)")
+    p.add_argument("--record", required=True, help=".npy / .pkl / WFDB record")
+    p.add_argument("--lead", type=int, default=None,
+                   help="use only this lead index of a multi-lead record")
+    p.add_argument("--hop", type=int, default=None,
+                   help="window stride (default window//2; must divide it)")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--taper", choices=("hann", "flat"), default="hann")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--intervals", action="store_true",
+                   help="also write intervals.csv: per-wave [onset, offset) "
+                        "runs extracted from the label field "
+                        "(ops/delineation.py)")
+    p.add_argument("--fs", type=float, default=250.0,
+                   help="sampling rate for the intervals' second columns")
+    p.add_argument("--min-duration-ms", type=float, default=20.0,
+                   help="drop wave runs shorter than this (blip filter)")
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    from .config import load_config, normalize_config, test_cfg
+    from .serving import long_record_inference
+
+    config = normalize_config(
+        load_config(args.config_path, args.override_config_path))
+    if args.model_path:
+        config["test"] = test_cfg(config)
+        config["test"]["model_path"] = args.model_path
+
+    ecg = load_record(args.record)
+    if args.lead is not None:
+        ecg = ecg[args.lead:args.lead + 1]
+    n_leads = int(config["backbone"][next(iter(config["backbone"]))]
+                  .get("num_leads", 1))
+    if ecg.shape[0] != n_leads:
+        raise SystemExit(f"record has {ecg.shape[0]} leads but the model "
+                         f"takes {n_leads} — pass --lead to select one")
+    print(f"record: {ecg.shape[0]} lead(s) x {ecg.shape[1]} samples")
+
+    out = long_record_inference(config, ecg, batch=args.batch,
+                                hop=args.hop, taper=args.taper)
+    os.makedirs(args.out_dir, exist_ok=True)
+    probs_path = os.path.join(args.out_dir, "probs.npy")
+    labels_path = os.path.join(args.out_dir, "labels.npy")
+    np.save(probs_path, out["probs"])
+    np.save(labels_path, out["labels"])
+    counts = np.bincount(out["labels"], minlength=out["probs"].shape[0])
+    frac = counts / max(1, out["labels"].size)
+    print("class occupancy:",
+          " ".join(f"c{i}={f:.3f}" for i, f in enumerate(frac)))
+    print(f"wrote {probs_path} {out['probs'].shape}, "
+          f"{labels_path} {out['labels'].shape}")
+    if args.intervals:
+        from .ops.delineation import labels_to_intervals
+
+        iv = labels_to_intervals(
+            out["labels"],
+            min_duration=max(1, int(round(args.min_duration_ms * args.fs
+                                          / 1000.0))))
+        iv_path = os.path.join(args.out_dir, "intervals.csv")
+        with open(iv_path, "w") as f:
+            f.write("class,onset,offset,onset_s,offset_s\n")
+            for c in sorted(iv):
+                for onset, offset in iv[c]:
+                    f.write(f"{c},{onset},{offset},"
+                            f"{onset / args.fs:.4f},{offset / args.fs:.4f}\n")
+        n = sum(len(v) for v in iv.values())
+        print(f"wrote {iv_path}: {n} wave intervals")
