@@ -112,6 +112,12 @@ def infer_longrec_main(argv=None):
                    help="sampling rate for the intervals' second columns")
     p.add_argument("--min-duration-ms", type=float, default=20.0,
                    help="drop wave runs shorter than this (blip filter)")
+    p.add_argument("--eval-labels", default=None, metavar="NPY",
+                   help="ground-truth label field (T,) to score against: "
+                        "prints LUDB-convention delineation metrics "
+                        "(per-boundary sensitivity/PPV, mean±std error ms)")
+    p.add_argument("--tolerance-ms", type=float, default=150.0,
+                   help="boundary match tolerance for --eval-labels")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     from .config import load_config, normalize_config, test_cfg
@@ -162,3 +168,25 @@ def infer_longrec_main(argv=None):
                             f"{onset / args.fs:.4f},{offset / args.fs:.4f}\n")
         n = sum(len(v) for v in iv.values())
         print(f"wrote {iv_path}: {n} wave intervals")
+    if args.eval_labels:
+        from .ops.delineation import delineation_metrics
+
+        true = np.load(args.eval_labels, allow_pickle=False)
+        if true.shape != out["labels"].shape:
+            raise SystemExit(f"--eval-labels shape {true.shape} != record "
+                             f"labels {out['labels'].shape}")
+        m = delineation_metrics(
+            out["labels"], true, fs=args.fs,
+            tolerance_ms=args.tolerance_ms,
+            min_duration=max(1, int(round(args.min_duration_ms * args.fs
+                                          / 1000.0))))
+        print(f"delineation vs {args.eval_labels} "
+              f"(tolerance {args.tolerance_ms:g} ms):")
+        for key in sorted(k for k in m if k != "overall"):
+            r = m[key]
+            print(f"  {key:>12}: Se {r['sensitivity']:.3f}  "
+                  f"PPV {r['ppv']:.3f}  err {r['mean_ms']:+.1f}"
+                  f"±{r['std_ms']:.1f} ms  (n={r['n_true']})")
+        o = m["overall"]
+        print(f"  {'overall':>12}: Se {o['sensitivity']:.3f}  "
+              f"PPV {o['ppv']:.3f}  matched {int(o['n_matched'])}")

@@ -192,7 +192,7 @@ class StreamingSegmenter:
     def __init__(self, infer: Callable, *, window: int,
                  hop: Optional[int] = None, num_leads: int = 1,
                  taper: str = "hann", standardize: bool = True,
-                 num_streams: int = 1):
+                 num_streams: int = 1, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -205,6 +205,20 @@ class StreamingSegmenter:
             raise ValueError("num_streams must be >= 1")
         self.window, self.hop, self.leads = window, hop, num_leads
         self.num_streams = num_streams
+        # mesh: shard the stream batch over the data axis — a monitoring
+        # fleet spreads S concurrent streams across N chips (GSPMD: the
+        # step's batch dim carries the sharding; carries stay sharded
+        # device-side between ticks, only raw chunks upload each push)
+        self._shardings = (None, None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if num_streams % int(mesh.shape["data"]) != 0:
+                raise ValueError(
+                    f"num_streams ({num_streams}) must divide by the mesh's "
+                    f"data axis ({int(mesh.shape['data'])})")
+            self._shardings = (NamedSharding(mesh, P("data")),
+                               NamedSharding(mesh, P()))
         out = jax.eval_shape(infer, jax.ShapeDtypeStruct(
             (num_streams, num_leads, window), np.float32))
         self.num_classes = int(out.shape[1])
@@ -242,6 +256,11 @@ class StreamingSegmenter:
         self._wacc = np.zeros(self.window - self.hop, np.float32)
         self._total = 0  # samples pushed per stream
         self._emitted = 0  # samples finalized per stream
+        if self._shardings[0] is not None:
+            import jax
+
+            self._acc = jax.device_put(self._acc, self._shardings[0])
+            self._wacc = jax.device_put(self._wacc, self._shardings[1])
 
     def _squeeze(self, probs, labels):
         if self.num_streams == 1:
@@ -249,6 +268,11 @@ class StreamingSegmenter:
         return probs, labels
 
     def _run_window(self, win):
+        if self._shardings[0] is not None:
+            import jax
+
+            win = jax.device_put(np.ascontiguousarray(win),
+                                 self._shardings[0])
         out, labels, acc, wacc = self._step(win, self._acc, self._wacc)
         self._acc, self._wacc = acc, wacc
         return np.asarray(out), np.asarray(labels)

@@ -257,6 +257,35 @@ def test_multi_stream_lockstep_independence():
         np.testing.assert_array_equal(labels[s], np.asarray(want_l))
 
 
+def test_multi_stream_sharded_over_mesh():
+    """mesh= shards the stream batch over the data axis; results match
+    the unsharded segmenter."""
+    from semi_seg_ecg_tpu.serving import StreamingSegmenter
+
+    rng = np.random.default_rng(11)
+    S, total = 8, WINDOW + 40
+    ecgs = rng.standard_normal((S, LEADS, total)).astype(np.float32)
+
+    def run(seg):
+        parts = [seg.push(ecgs[:, :, :total // 2])[0],
+                 seg.push(ecgs[:, :, total // 2:])[0],
+                 seg.flush()[0]]
+        return np.concatenate(parts, axis=2)
+
+    plain = run(StreamingSegmenter(_fake_infer, window=WINDOW,
+                                   hop=WINDOW // 2, num_leads=LEADS,
+                                   num_streams=S))
+    sharded = run(StreamingSegmenter(_fake_infer, window=WINDOW,
+                                     hop=WINDOW // 2, num_leads=LEADS,
+                                     num_streams=S, mesh=_data_mesh()))
+    np.testing.assert_allclose(sharded, plain, atol=1e-6)
+
+    with pytest.raises(ValueError, match="must divide"):
+        StreamingSegmenter(_fake_infer, window=WINDOW, hop=WINDOW // 2,
+                           num_leads=LEADS, num_streams=3,
+                           mesh=_data_mesh())
+
+
 def test_hop_must_divide_window():
     with pytest.raises(ValueError, match="must divide"):
         stitch.plan_windows(100, WINDOW, 10, 4)
