@@ -72,6 +72,40 @@ def load_record(path: str):
     return x
 
 
+def _write_longrec_outputs(out, out_dir, args):
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    probs_path = os.path.join(out_dir, "probs.npy")
+    labels_path = os.path.join(out_dir, "labels.npy")
+    np.save(probs_path, out["probs"])
+    np.save(labels_path, out["labels"])
+    counts = np.bincount(out["labels"], minlength=out["probs"].shape[0])
+    frac = counts / max(1, out["labels"].size)
+    print("class occupancy:",
+          " ".join(f"c{i}={f:.3f}" for i, f in enumerate(frac)))
+    print(f"wrote {probs_path} {out['probs'].shape}, "
+          f"{labels_path} {out['labels'].shape}")
+    if args.intervals:
+        from .ops.delineation import labels_to_intervals
+
+        iv = labels_to_intervals(
+            out["labels"],
+            min_duration=max(1, int(round(args.min_duration_ms * args.fs
+                                          / 1000.0))))
+        iv_path = os.path.join(out_dir, "intervals.csv")
+        with open(iv_path, "w") as f:
+            f.write("class,onset,offset,onset_s,offset_s\n")
+            for c in sorted(iv):
+                for onset, offset in iv[c]:
+                    f.write(f"{c},{onset},{offset},"
+                            f"{onset / args.fs:.4f},{offset / args.fs:.4f}\n")
+        n = sum(len(v) for v in iv.values())
+        print(f"wrote {iv_path}: {n} wave intervals")
+
+
 def infer_longrec_main(argv=None):
     """Segment one RAW record of any length (Holter/telemetry scale).
 
@@ -96,7 +130,11 @@ def infer_longrec_main(argv=None):
     p.add_argument("-o", "--override_config_path", default=None)
     p.add_argument("--model_path", default="",
                    help="checkpoint to load (default: the config's best-*)")
-    p.add_argument("--record", required=True, help=".npy / .pkl / WFDB record")
+    p.add_argument("--record", required=True,
+                   help=".npy / .pkl / WFDB record, or a DIRECTORY of "
+                        "records (one model load, one compiled program "
+                        "shared across same-length records; outputs in "
+                        "out-dir/<record-stem>/)")
     p.add_argument("--lead", type=int, default=None,
                    help="use only this lead index of a multi-lead record")
     p.add_argument("--hop", type=int, default=None,
@@ -129,46 +167,42 @@ def infer_longrec_main(argv=None):
         config["test"] = test_cfg(config)
         config["test"]["model_path"] = args.model_path
 
-    ecg = load_record(args.record)
-    if args.lead is not None:
-        ecg = ecg[args.lead:args.lead + 1]
+    if os.path.isdir(args.record):
+        paths = sorted(
+            os.path.join(args.record, f)
+            for f in os.listdir(args.record)
+            if f.endswith((".npy", ".pkl", ".hea")))
+        if not paths:
+            raise SystemExit(f"no .npy/.pkl/.hea records in {args.record}")
+        if args.eval_labels:
+            raise SystemExit("--eval-labels applies to a single record")
+    else:
+        paths = [args.record]
+
+    # one model load + program cache shared across records: the stitch
+    # engine keys compiled programs on the infer object
+    from .serving import make_serving_fn
+
+    infer, _ = make_serving_fn(config)
     n_leads = int(config["backbone"][next(iter(config["backbone"]))]
                   .get("num_leads", 1))
-    if ecg.shape[0] != n_leads:
-        raise SystemExit(f"record has {ecg.shape[0]} leads but the model "
-                         f"takes {n_leads} — pass --lead to select one")
-    print(f"record: {ecg.shape[0]} lead(s) x {ecg.shape[1]} samples")
-
-    out = long_record_inference(config, ecg, batch=args.batch,
-                                hop=args.hop, taper=args.taper)
-    os.makedirs(args.out_dir, exist_ok=True)
-    probs_path = os.path.join(args.out_dir, "probs.npy")
-    labels_path = os.path.join(args.out_dir, "labels.npy")
-    np.save(probs_path, out["probs"])
-    np.save(labels_path, out["labels"])
-    counts = np.bincount(out["labels"], minlength=out["probs"].shape[0])
-    frac = counts / max(1, out["labels"].size)
-    print("class occupancy:",
-          " ".join(f"c{i}={f:.3f}" for i, f in enumerate(frac)))
-    print(f"wrote {probs_path} {out['probs'].shape}, "
-          f"{labels_path} {out['labels'].shape}")
-    if args.intervals:
-        from .ops.delineation import labels_to_intervals
-
-        iv = labels_to_intervals(
-            out["labels"],
-            min_duration=max(1, int(round(args.min_duration_ms * args.fs
-                                          / 1000.0))))
-        iv_path = os.path.join(args.out_dir, "intervals.csv")
-        with open(iv_path, "w") as f:
-            f.write("class,onset,offset,onset_s,offset_s\n")
-            for c in sorted(iv):
-                for onset, offset in iv[c]:
-                    f.write(f"{c},{onset},{offset},"
-                            f"{onset / args.fs:.4f},{offset / args.fs:.4f}\n")
-        n = sum(len(v) for v in iv.values())
-        print(f"wrote {iv_path}: {n} wave intervals")
-    if args.eval_labels:
+    for path in paths:
+        ecg = load_record(path)
+        if args.lead is not None:
+            ecg = ecg[args.lead:args.lead + 1]
+        if ecg.shape[0] != n_leads:
+            raise SystemExit(f"{path}: record has {ecg.shape[0]} leads but "
+                             f"the model takes {n_leads} — pass --lead")
+        print(f"{path}: {ecg.shape[0]} lead(s) x {ecg.shape[1]} samples")
+        out_dir = args.out_dir
+        if len(paths) > 1:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out_dir = os.path.join(args.out_dir, stem)
+        out = long_record_inference(config, ecg, batch=args.batch,
+                                    hop=args.hop, taper=args.taper,
+                                    infer=infer)
+        _write_longrec_outputs(out, out_dir, args)
+    if args.eval_labels:  # single record (guarded above): `out` is its result
         from .ops.delineation import delineation_metrics
 
         true = np.load(args.eval_labels, allow_pickle=False)

@@ -286,6 +286,28 @@ def test_multi_stream_sharded_over_mesh():
                            mesh=_data_mesh())
 
 
+def test_geometry_fuzz_against_oracle():
+    """Randomized window/hop/length/batch geometries (fixed seeds) all
+    match the numpy oracle — guards the padding/validity/fold edge cases
+    no single hand-picked geometry exercises."""
+    rng = np.random.default_rng(12)
+    for trial in range(12):
+        window = int(rng.choice([8, 16, 24, 32]))
+        k = int(rng.choice([1, 2, 4]))
+        if window % k:
+            window = k * max(1, window // k)
+        hop = window // k
+        total = int(rng.integers(max(2, window // 2), 6 * window))
+        batch = int(rng.choice([1, 2, 5]))
+        ecg = rng.standard_normal((LEADS, total)).astype(np.float32)
+        got, _ = stitch.overlap_add_infer(
+            _fake_infer, ecg, window=window, hop=hop, batch=batch)
+        want = _oracle(ecg, window, hop)
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=3e-6,
+            err_msg=f"trial {trial}: w={window} h={hop} T={total} b={batch}")
+
+
 def test_hop_must_divide_window():
     with pytest.raises(ValueError, match="must divide"):
         stitch.plan_windows(100, WINDOW, 10, 4)
