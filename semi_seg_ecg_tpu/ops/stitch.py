@@ -93,9 +93,18 @@ def _build_program(infer, leads, total, window, hop, batch, taper,
 
     def local_scan(record, first_win):
         """Overlap-add the ``w_per`` windows starting at global window id
-        ``first_win`` into a local ``slab_blocks``-block accumulator."""
+        ``first_win`` into a local ``slab_blocks``-block accumulator.
+
+        The scan carries only the ``k-1`` seam blocks still awaiting
+        contributions from the next batch; each step EMITS its ``batch``
+        finalized blocks as scan outputs, written exactly once — no
+        full-accumulator read-modify-write rides the loop (same carry
+        algebra as serving.StreamingSegmenter, bit-identical to the
+        slab form since the one reassociation it moves is a commutative
+        two-operand add).
+        """
         def body(carry, step):
-            acc, wacc = carry
+            seam, wseam = carry  # (k-1, C, hop), (k-1, hop)
             win_ids = first_win + step * batch + jnp.arange(batch)
             # windowing without a gather (XLA's gather lowering on TPU is
             # scalarized and slow — the same pathology ops/pallas/gather1d
@@ -127,19 +136,19 @@ def _build_program(infer, leads, total, window, hop, batch, taper,
             for j in range(k):  # k is small and static: dense adds, no scatter
                 local = local.at[j:j + batch].add(cb[:, :, j])
                 wlocal = wlocal.at[j:j + batch].add(wb[:, j])
-            b0 = step * batch  # local block offset of this batch's first window
-            slab = jax.lax.dynamic_slice(
-                acc, (b0, 0, 0), (batch + k - 1, num_classes, hop))
-            acc = jax.lax.dynamic_update_slice(acc, slab + local, (b0, 0, 0))
-            wslab = jax.lax.dynamic_slice(wacc, (b0, 0), (batch + k - 1, hop))
-            wacc = jax.lax.dynamic_update_slice(wacc, wslab + wlocal, (b0, 0))
-            return (acc, wacc), None
+            local = local.at[:k - 1].add(seam)
+            wlocal = wlocal.at[:k - 1].add(wseam)
+            return ((local[batch:], wlocal[batch:]),
+                    (local[:batch], wlocal[:batch]))
 
-        acc0 = jnp.zeros((slab_blocks, num_classes, hop), jnp.float32)
-        wacc0 = jnp.zeros((slab_blocks, hop), jnp.float32)
-        (acc, wacc), _ = jax.lax.scan(body, (acc0, wacc0),
-                                      jnp.arange(steps_per))
-        return acc, wacc
+        seam0 = jnp.zeros((k - 1, num_classes, hop), jnp.float32)
+        wseam0 = jnp.zeros((k - 1, hop), jnp.float32)
+        (seam, wseam), (blocks, wblocks) = jax.lax.scan(
+            body, (seam0, wseam0), jnp.arange(steps_per))
+        acc = jnp.concatenate(
+            [blocks.reshape(w_per, num_classes, hop), seam], axis=0)
+        wacc = jnp.concatenate([wblocks.reshape(w_per, hop), wseam], axis=0)
+        return acc, wacc  # (slab_blocks, C, hop), (slab_blocks, hop)
 
     def run(record):
         # record: (leads, n_blocks * hop) — already padded by the caller

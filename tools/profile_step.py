@@ -162,6 +162,59 @@ def capture_inference(steps: int, logdir: str, batch: int = 256,
     return wall / steps, steps
 
 
+def capture_holter(steps: int, logdir: str, hours: float = 1.0,
+                   batch: int = 256, hop: int = 2500, int8: bool = False):
+    """Trace the long-record stitcher (ops/stitch.py) end to end — the
+    program tools/bench_holter.py times. Attributes the gap between the
+    stitched per-window cost and the pure windowed forward (window
+    materialization, standardize reductions, overlap fold, accumulator
+    traffic, final normalize/argmax)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from semi_seg_ecg_tpu.algorithms.common import init_model_state
+    from semi_seg_ecg_tpu.models import build_model_from_config
+    from semi_seg_ecg_tpu.ops.stitch import overlap_add_infer
+    from tools.bench_holter import synth_record
+
+    config = _flagship_config()
+    if int8:
+        config["quantize"] = "int8"
+    model = build_model_from_config(config, train=False, serving=True)
+    state = init_model_state(model, config, 0)
+    quant = None
+    if int8:
+        from semi_seg_ecg_tpu.utils.calibrate import calibrate_quant
+
+        cal_rng = np.random.default_rng(1)
+        quant = calibrate_quant(
+            model, state.params, state.batch_stats,
+            (jnp.asarray(cal_rng.standard_normal((16, 1, 2500)),
+                         jnp.float32) for _ in range(4)))
+
+    def infer(x):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(variables, x, train=False)
+        return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=1)
+
+    record = jnp.asarray(synth_record(hours))
+    _, labels = overlap_add_infer(infer, record, window=2500, hop=hop,
+                                  batch=batch)
+    jax.block_until_ready(labels)
+
+    with jax.profiler.trace(logdir):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            _, labels = overlap_add_infer(infer, record, window=2500,
+                                          hop=hop, batch=batch)
+        float(labels[0])
+        wall = time.perf_counter() - t0
+    return wall / steps, steps
+
+
 def tool_rows(logdir: str, tool: str):
     from xprof.convert import raw_to_tool_data as rtd
 
@@ -241,6 +294,11 @@ def main():
     ap.add_argument("--inference", action="store_true",
                     help="profile the serving forward (eval-mode flagship "
                          "+ softmax) instead of the train step")
+    ap.add_argument("--holter", action="store_true",
+                    help="profile the long-record stitcher (ops/stitch.py) "
+                         "on a 1 h record instead of the train step")
+    ap.add_argument("--hop", type=int, default=2500,
+                    help="with --holter: window stride")
     ap.add_argument("--int8", action="store_true",
                     help="with --inference: the dynamically quantized model")
     ap.add_argument("--static", action="store_true",
@@ -262,7 +320,11 @@ def main():
 
     logdir = args.out or tempfile.mkdtemp(prefix="jaxprof_")
     try:
-        if args.inference:
+        if args.holter:
+            wall_per_step, calls = capture_holter(
+                max(1, min(args.steps, 5)), logdir, batch=args.batch,
+                hop=args.hop, int8=args.int8)
+        elif args.inference:
             wall_per_step, calls = capture_inference(
                 args.steps, logdir, batch=args.batch, int8=args.int8,
                 static=args.static)
@@ -271,7 +333,9 @@ def main():
                                            augment=args.augment,
                                            batch=args.batch)
         steps_traced = calls * max(args.scan, 1)
-        label = (("int8-" if args.int8 else "") + "inference"
+        label = (("int8-" if args.int8 else "") + "holter-record"
+                 if args.holter
+                 else ("int8-" if args.int8 else "") + "inference"
                  if args.inference
                  else f"scan{args.scan}" if args.scan > 1
                  else "augment+step" if args.augment else "per-step")
