@@ -72,6 +72,18 @@ def load_record(path: str):
     return x
 
 
+def _record_fs(path: str):
+    """The record's own sampling rate, when the format carries one
+    (WFDB header ``fs``); None otherwise."""
+    import os
+
+    if path.endswith(".hea") or os.path.exists(path + ".hea"):
+        from .data.wfdb_io import rdrecord
+
+        return float(rdrecord(path).fs)
+    return None
+
+
 def _write_longrec_outputs(out, out_dir, args):
     import os
 
@@ -146,8 +158,10 @@ def infer_longrec_main(argv=None):
                    help="also write intervals.csv: per-wave [onset, offset) "
                         "runs extracted from the label field "
                         "(ops/delineation.py)")
-    p.add_argument("--fs", type=float, default=250.0,
-                   help="sampling rate for the intervals' second columns")
+    p.add_argument("--fs", type=float, default=None,
+                   help="sampling rate for the intervals' second columns "
+                        "and ms-based knobs (default: the record's own "
+                        "rate for WFDB input, else 250)")
     p.add_argument("--min-duration-ms", type=float, default=20.0,
                    help="drop wave runs shorter than this (blip filter)")
     p.add_argument("--eval-labels", default=None, metavar="NPY",
@@ -167,7 +181,8 @@ def infer_longrec_main(argv=None):
         config["test"] = test_cfg(config)
         config["test"]["model_path"] = args.model_path
 
-    if os.path.isdir(args.record):
+    is_dir = os.path.isdir(args.record)
+    if is_dir:
         paths = sorted(
             os.path.join(args.record, f)
             for f in os.listdir(args.record)
@@ -176,6 +191,12 @@ def infer_longrec_main(argv=None):
             raise SystemExit(f"no .npy/.pkl/.hea records in {args.record}")
         if args.eval_labels:
             raise SystemExit("--eval-labels applies to a single record")
+        stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        dupes = {s for s in stems if stems.count(s) > 1}
+        if dupes:
+            raise SystemExit(
+                f"records differing only by extension would overwrite each "
+                f"other's outputs: {sorted(dupes)} — rename or separate them")
     else:
         paths = [args.record]
 
@@ -188,14 +209,22 @@ def infer_longrec_main(argv=None):
                   .get("num_leads", 1))
     for path in paths:
         ecg = load_record(path)
+        if args.fs is None:
+            fs = _record_fs(path)
+            if fs is not None:
+                print(f"using the record's own sampling rate: {fs:g} Hz")
+            args.fs = fs if fs is not None else 250.0
         if args.lead is not None:
+            if not 0 <= args.lead < ecg.shape[0]:
+                raise SystemExit(f"{path}: --lead {args.lead} out of range "
+                                 f"for a {ecg.shape[0]}-lead record")
             ecg = ecg[args.lead:args.lead + 1]
         if ecg.shape[0] != n_leads:
             raise SystemExit(f"{path}: record has {ecg.shape[0]} leads but "
                              f"the model takes {n_leads} — pass --lead")
         print(f"{path}: {ecg.shape[0]} lead(s) x {ecg.shape[1]} samples")
         out_dir = args.out_dir
-        if len(paths) > 1:
+        if is_dir:
             stem = os.path.splitext(os.path.basename(path))[0]
             out_dir = os.path.join(args.out_dir, stem)
         out = long_record_inference(config, ecg, batch=args.batch,

@@ -76,18 +76,26 @@ def match_boundaries(pred: np.ndarray, true: np.ndarray,
     true = np.sort(np.asarray(true, np.int64).ravel())
     if pred.size == 0 or true.size == 0:
         return np.zeros(0, np.int64), int(true.size), int(pred.size)
-    # candidate pairs within tolerance, cheapest first
-    diff = pred[None, :] - true[:, None]  # (T, P)
-    cand = np.argwhere(np.abs(diff) <= tolerance)
-    order = np.argsort(np.abs(diff[cand[:, 0], cand[:, 1]]), kind="stable")
+    # candidate pairs within tolerance, found by sorted range lookup —
+    # output-sensitive (boundaries are typically ≫ tolerance apart, so a
+    # handful of candidates each), never a dense (n_true, n_pred) matrix
+    lo = np.searchsorted(pred, true - tolerance, side="left")
+    hi = np.searchsorted(pred, true + tolerance, side="right")
+    ti_all = np.repeat(np.arange(true.size), hi - lo)
+    pi_all = np.concatenate(
+        [np.arange(a, b) for a, b in zip(lo, hi)]) if ti_all.size else \
+        np.zeros(0, np.int64)
+    diffs = pred[pi_all] - true[ti_all]
+    order = np.argsort(np.abs(diffs), kind="stable")
     used_t = np.zeros(true.size, bool)
     used_p = np.zeros(pred.size, bool)
     errors = []
-    for ti, pi in cand[order]:
+    for idx in order:
+        ti, pi = ti_all[idx], pi_all[idx]
         if used_t[ti] or used_p[pi]:
             continue
         used_t[ti] = used_p[pi] = True
-        errors.append(diff[ti, pi])
+        errors.append(diffs[idx])
     return (np.asarray(errors, np.int64), int((~used_t).sum()),
             int((~used_p).sum()))
 
@@ -101,13 +109,24 @@ def delineation_metrics(pred_labels, true_labels, *, fs: float,
     For every wave class and for each of (onset, offset): sensitivity
     ``TP/(TP+FN)``, PPV ``TP/(TP+FP)``, and mean/std of the matched
     signed errors in ms, at ``tolerance_ms`` (LUDB-paper convention).
+    ``min_duration`` filters blips from the PREDICTION only — the truth
+    is always scored in full. ``classes`` defaults to every non-zero
+    class in either field (a hallucinated class counts as FPs).
     Returns ``{"<class>_<boundary>": {"sensitivity", "ppv", "mean_ms",
     "std_ms", "n_true", "n_pred"}}`` plus an ``"overall"`` entry
     aggregating TP/FN/FP over everything.
     """
     tol = int(round(tolerance_ms * fs / 1000.0))
-    true_iv = labels_to_intervals(true_labels, classes, min_duration)
-    pred_iv = labels_to_intervals(pred_labels, sorted(true_iv), min_duration)
+    if classes is None:
+        # union of both fields: a class predicted but absent from the
+        # truth must still count its boundaries as false positives
+        classes = sorted(
+            {int(c) for c in np.unique(np.asarray(true_labels)) if c != 0} |
+            {int(c) for c in np.unique(np.asarray(pred_labels)) if c != 0})
+    # the blip filter is prediction post-processing; the truth is scored
+    # in full (LUDB convention: every annotated boundary counts)
+    true_iv = labels_to_intervals(true_labels, classes, min_duration=1)
+    pred_iv = labels_to_intervals(pred_labels, classes, min_duration)
     out: Dict[str, Dict[str, float]] = {}
     tp_all = fn_all = fp_all = 0
     for c in sorted(true_iv):

@@ -142,8 +142,10 @@ def long_record_inference(
     standardize = False
     for entry in config["dataset"].get("transforms") or []:
         name = entry if isinstance(entry, str) else next(iter(entry))
-        if name == "standardize":
-            axis = (entry.get("standardize") or {}).get("axis", (-1, -2)) \
+        # the transforms parser accepts both the MAPPING key
+        # ('standardize') and the class-name spelling ('Standardize')
+        if name.lower() == "standardize":
+            axis = (entry.get(name) or {}).get("axis", (-1, -2)) \
                 if isinstance(entry, dict) else (-1, -2)
             axis = tuple(axis) if isinstance(axis, (list, tuple)) else (axis,)
             if axis not in ((-1, -2), (-2, -1)):

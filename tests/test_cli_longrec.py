@@ -86,13 +86,19 @@ def test_eval_labels_self_score(cli_setup, capsys):
     assert "overall" in text and "Se 1.000" in text and "PPV 1.000" in text
 
 
-def test_wfdb_record_path(cli_setup):
+WFDB_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fixtures", "wfdb", "golden")
+
+
+def test_wfdb_record_path(cli_setup, capsys):
     cfg, root, _ = cli_setup
     out = os.path.join(root, "out_wfdb")
-    infer_longrec_main(["-f", cfg, "--record", "tests/fixtures/wfdb/golden",
+    infer_longrec_main(["-f", cfg, "--record", WFDB_GOLDEN,
                         "--lead", "0", "--batch", "4", "--out-dir", out])
-    n = load_record("tests/fixtures/wfdb/golden").shape[1]
+    n = load_record(WFDB_GOLDEN).shape[1]
     assert np.load(os.path.join(out, "probs.npy")).shape == (4, n)
+    # WFDB input supplies its own sampling rate when --fs is omitted
+    assert "record's own sampling rate" in capsys.readouterr().out
 
 
 def test_directory_mode(cli_setup):
@@ -110,6 +116,15 @@ def test_directory_mode(cli_setup):
     with pytest.raises(SystemExit, match="single record"):
         infer_longrec_main(["-f", cfg, "--record", rec_dir,
                             "--out-dir", out, "--eval-labels", "x.npy"])
+    # same stem, different extension: would overwrite — rejected loudly
+    import pickle
+
+    with open(os.path.join(rec_dir, "a.pkl"), "wb") as f:
+        pickle.dump(rec[:2 * SIG], f)
+    with pytest.raises(SystemExit, match="overwrite"):
+        infer_longrec_main(["-f", cfg, "--record", rec_dir,
+                            "--out-dir", out])
+    os.remove(os.path.join(rec_dir, "a.pkl"))
 
 
 def test_lead_mismatch_fails_loudly(cli_setup):

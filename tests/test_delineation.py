@@ -88,6 +88,41 @@ def test_delineation_metrics_hand_computed():
     np.testing.assert_allclose(m["overall"]["ppv"], 4 / 6)
 
 
+def test_hallucinated_class_counts_as_false_positives():
+    """A class present in the prediction but absent from the truth must
+    drag PPV down, not vanish from the report."""
+    true = _field(500, {1: np.array([[100, 150]])})
+    pred = _field(500, {1: np.array([[100, 150]]),
+                        3: np.array([[300, 350]])})
+    m = dl.delineation_metrics(pred, true, fs=250.0, tolerance_ms=40.0)
+    assert m["3_onset"]["n_true"] == 0 and m["3_onset"]["n_pred"] == 1
+    assert m["3_onset"]["ppv"] == 0.0
+    np.testing.assert_allclose(m["overall"]["ppv"], 2 / 4)  # 2 TP, 2 FP
+    np.testing.assert_allclose(m["overall"]["sensitivity"], 1.0)
+
+
+def test_blip_filter_applies_to_prediction_only():
+    """min_duration cleans predicted blips but never deletes true
+    annotation runs — sensitivity is scored against the full truth."""
+    true = _field(500, {1: np.array([[100, 103]])})  # a short true run
+    pred = _field(500, {1: np.array([[100, 103], [300, 302]])})
+    m = dl.delineation_metrics(pred, true, fs=250.0, tolerance_ms=40.0,
+                               min_duration=5)
+    # the true 3-sample run still counts (as FN here: pred's copy of it
+    # was blip-filtered away along with the spurious 2-sample run)
+    assert m["1_onset"]["n_true"] == 1 and m["1_onset"]["n_pred"] == 0
+    assert m["1_onset"]["sensitivity"] == 0.0
+
+
+def test_match_boundaries_holter_scale():
+    """10^5 boundaries match in O(candidates), not O(n^2) memory."""
+    true = np.arange(100_000, dtype=np.int64) * 200  # one per 0.8 s
+    pred = true + 3
+    errors, n_fn, n_fp = dl.match_boundaries(pred, true, tolerance=37)
+    assert errors.size == true.size and n_fn == 0 and n_fp == 0
+    assert (errors == 3).all()
+
+
 def test_tolerance_in_ms_scales_with_fs():
     true = _field(1000, {1: np.array([[500, 600]])})
     pred = _field(1000, {1: np.array([[530, 600]])})  # onset +30 samples
