@@ -121,9 +121,21 @@ def probe_link():
         th.join(timeout_s)
         return box.get("dt")
 
+    # The FIRST D2H fetch of a process can wedge for 35-75 s while every
+    # later fetch runs at full speed (observed 2026-08-20, NOTES.md
+    # "first-fetch handshake") — for five sessions this state was
+    # misclassified as a dead link by a 5 s probe. Pay the handshake on a
+    # 16-byte fetch with a generous budget, report its duration, and only
+    # call the link dead if even that never returns.
+    warm = y[:1, :4]  # 16 bytes
+    warm.block_until_ready()
+    t_warm = timed_fetch(
+        warm, float(os.environ.get("ECG_D2H_HANDSHAKE_TIMEOUT_S", "120")))
+    out["d2h_first_fetch_s"] = round(t_warm, 3) if t_warm is not None else None
+
     small = y[:4]  # 16 KB
     small.block_until_ready()
-    dt_small = timed_fetch(small, 5.0)
+    dt_small = timed_fetch(small, 5.0) if t_warm is not None else None
     if dt_small is None:
         out["d2h_mbps"] = 0.0  # wedged: did not return within 5 s
     else:

@@ -46,9 +46,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (skips link diagnostics)")
-    ap.add_argument("--deadline", type=float, default=120.0,
+    ap.add_argument("--deadline", type=float, default=240.0,
                     help="seconds before the device backend is declared "
-                         "wedged")
+                         "wedged (must exceed the ~75 s first-D2H-fetch "
+                         "handshake the probe now pays, NOTES.md)")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +95,14 @@ def main():
                         f"OK link healthy: dispatch {link['dispatch_ms']} "
                         f"ms, D2H {link['d2h_mbps']} MB/s, H2D "
                         f"{link['h2d_mbps']} MB/s")
+                    first = link.get("d2h_first_fetch_s")
+                    if first is not None and first > 5.0:
+                        notes.append(
+                            f"WARN first D2H fetch took {first:.0f} s "
+                            "(per-process handshake wedge, NOTES.md): "
+                            "steady-state is healthy, but every fresh "
+                            "process pays this once — budget timeouts "
+                            "accordingly.")
                 elif link["d2h_mbps"] <= _D2H_HEALTHY_MBPS:
                     notes.append(
                         f"WARN D2H collapsed ({link['d2h_mbps']} MB/s): "
