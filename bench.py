@@ -121,23 +121,40 @@ def probe_link():
         th.join(timeout_s)
         return box.get("dt")
 
-    # The FIRST D2H fetch of a process can wedge for 35-75 s while every
-    # later fetch runs at full speed (observed 2026-08-20, NOTES.md
-    # "first-fetch handshake") — for five sessions this state was
-    # misclassified as a dead link by a 5 s probe. Pay the handshake on a
-    # 16-byte fetch with a generous budget, report its duration, and only
-    # call the link dead if even that never returns.
     warm = y[:1, :4]  # 16 bytes
     warm.block_until_ready()
-    t_warm = timed_fetch(
-        warm, float(os.environ.get("ECG_D2H_HANDSHAKE_TIMEOUT_S", "120")))
-    out["d2h_first_fetch_s"] = round(t_warm, 3) if t_warm is not None else None
-
     small = y[:4]  # 16 KB
     small.block_until_ready()
+    out.update(_staged_d2h_probe(timed_fetch, warm, small, y))
+
+    out["healthy"] = (out["dispatch_ms"] < _DISPATCH_HEALTHY_MS
+                      and out["d2h_mbps"] > _D2H_HEALTHY_MBPS)
+    return out
+
+
+def _staged_d2h_probe(timed_fetch, warm, small, big):
+    """The D2H staging policy, separated from device plumbing so the
+    misclassification modes are unit-testable (tests/test_bench_measure.py).
+
+    The FIRST device→host fetch of a process can wedge for 35 s to >9 min
+    while every later fetch runs at full speed (observed 2026-08-20,
+    NOTES.md "first-fetch handshake") — for five sessions that state was
+    misclassified as a dead link by a 5 s first-fetch probe. So: pay the
+    handshake on a 16-byte fetch with a generous budget
+    (``ECG_D2H_HANDSHAKE_TIMEOUT_S``, default 120 s) and report its
+    duration; only a handshake that never returns is reported as 0 MB/s.
+    Steady-state is then measured 16 KB first, so a collapsed-but-alive
+    path (~KB/s) costs seconds, and the 1 MB fetch only runs when the
+    small probe looked healthy."""
+    out = {}
+    t_warm = timed_fetch(
+        warm, float(os.environ.get("ECG_D2H_HANDSHAKE_TIMEOUT_S", "120")))
+    out["d2h_first_fetch_s"] = (round(t_warm, 3) if t_warm is not None
+                                else None)
+
     dt_small = timed_fetch(small, 5.0) if t_warm is not None else None
     if dt_small is None:
-        out["d2h_mbps"] = 0.0  # wedged: did not return within 5 s
+        out["d2h_mbps"] = 0.0  # wedged: the handshake never returned
     else:
         mbps_small = 16e-3 / max(dt_small, 1e-6)
         if mbps_small < _D2H_HEALTHY_MBPS:
@@ -146,15 +163,12 @@ def probe_link():
             # through the link during the measurement that follows
             out["d2h_mbps"] = round(mbps_small, 4)
         else:
-            dt = timed_fetch(y, 30.0)
+            dt = timed_fetch(big, 30.0)
             # a timed-out large fetch means the link collapsed mid-probe:
             # it is alive (the 16 KB returned) but not at mbps_small —
             # report the small-probe estimate, not a fake 0.0
             out["d2h_mbps"] = (round(1.0 / dt, 2) if dt
                                else round(mbps_small, 4))
-
-    out["healthy"] = (out["dispatch_ms"] < _DISPATCH_HEALTHY_MS
-                      and out["d2h_mbps"] > _D2H_HEALTHY_MBPS)
     return out
 
 

@@ -121,6 +121,58 @@ def test_mid_trial_degrade_cannot_go_negative(monkeypatch):
     assert dt < 0.15
 
 
+class _ScriptedFetch:
+    """Fake ``timed_fetch(arr, timeout_s)``: returns the scripted duration
+    for the sentinel, or None when the script says the fetch out-waits its
+    timeout. Records which sentinels were actually fetched."""
+
+    def __init__(self, durations):
+        self.durations = durations  # sentinel -> seconds or None
+        self.fetched = []
+
+    def __call__(self, arr, timeout_s):
+        self.fetched.append(arr)
+        dt = self.durations[arr]
+        if dt is None or dt > timeout_s:
+            return None
+        return dt
+
+
+def test_d2h_probe_pays_the_handshake_then_measures_steady_state():
+    """The five-session misclassification (NOTES.md "first-fetch
+    handshake"): a 40 s first fetch followed by a healthy link must be
+    reported healthy, not 0.0."""
+    fetch = _ScriptedFetch({"warm": 40.0, "small": 0.001, "big": 0.05})
+    out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
+    assert out["d2h_first_fetch_s"] == 40.0
+    assert out["d2h_mbps"] == 20.0  # 1 MB / 0.05 s
+    assert out["d2h_mbps"] > bench._D2H_HEALTHY_MBPS
+
+
+def test_d2h_probe_reports_dead_only_when_handshake_never_returns():
+    fetch = _ScriptedFetch({"warm": None, "small": 0.001, "big": 0.05})
+    out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
+    assert out["d2h_first_fetch_s"] is None
+    assert out["d2h_mbps"] == 0.0
+    assert fetch.fetched == ["warm"]  # no further fetches drag the link
+
+
+def test_d2h_probe_degraded_small_skips_the_large_fetch():
+    # 16 KB in 2 s = 0.008 MB/s: collapsed-but-alive; the 1 MB fetch
+    # would take ~2 minutes and must not be launched
+    fetch = _ScriptedFetch({"warm": 0.5, "small": 2.0, "big": 60.0})
+    out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
+    assert out["d2h_mbps"] == pytest.approx(0.008)
+    assert "big" not in fetch.fetched
+
+
+def test_d2h_probe_mid_probe_collapse_falls_back_to_small_estimate():
+    fetch = _ScriptedFetch({"warm": 0.5, "small": 0.001, "big": None})
+    out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
+    assert out["d2h_mbps"] == pytest.approx(16.0)  # 16 KB / 1 ms
+    assert out["d2h_mbps"] != 0.0
+
+
 def test_watchdog_emits_flagged_json_when_bench_hangs():
     """A fully wedged tunnel hangs jax.devices() itself; the driver must
     still receive one self-flagging JSON line (subprocess: the watchdog
