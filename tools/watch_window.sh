@@ -25,5 +25,10 @@ if "dt" in box:
     rec["d2h_mbps"] = round(1.0 / (time.perf_counter() - t0), 1)
 print(json.dumps(rec), flush=True)
 EOF
+  if [ $? -ne 0 ]; then
+    # the probe process itself was killed (backend init / dispatch hang):
+    # log that too, or a silent gap is indistinguishable from not running
+    echo "{\"utc\": \"$(date -u +%Y-%m-%dT%H:%M:%SZ)\", \"probe\": \"killed\"}" >> "$LOG"
+  fi
   sleep "$INTERVAL"
 done
