@@ -138,10 +138,13 @@ class _ScriptedFetch:
         return dt
 
 
-def test_d2h_probe_pays_the_handshake_then_measures_steady_state():
+def test_d2h_probe_pays_the_handshake_then_measures_steady_state(monkeypatch):
     """The five-session misclassification (NOTES.md "first-fetch
     handshake"): a 40 s first fetch followed by a healthy link must be
     reported healthy, not 0.0."""
+    # isolate from the shell: run_clean_sweep.sh exports a budget into any
+    # shell that sources it; a value < 40 would "time out" the scripted fetch
+    monkeypatch.delenv("ECG_D2H_HANDSHAKE_TIMEOUT_S", raising=False)
     fetch = _ScriptedFetch({"warm": 40.0, "small": 0.001, "big": 0.05})
     out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
     assert out["d2h_first_fetch_s"] == 40.0
@@ -149,7 +152,8 @@ def test_d2h_probe_pays_the_handshake_then_measures_steady_state():
     assert out["d2h_mbps"] > bench._D2H_HEALTHY_MBPS
 
 
-def test_d2h_probe_reports_dead_only_when_handshake_never_returns():
+def test_d2h_probe_reports_dead_only_when_handshake_never_returns(monkeypatch):
+    monkeypatch.delenv("ECG_D2H_HANDSHAKE_TIMEOUT_S", raising=False)
     fetch = _ScriptedFetch({"warm": None, "small": 0.001, "big": 0.05})
     out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
     assert out["d2h_first_fetch_s"] is None
@@ -157,16 +161,18 @@ def test_d2h_probe_reports_dead_only_when_handshake_never_returns():
     assert fetch.fetched == ["warm"]  # no further fetches drag the link
 
 
-def test_d2h_probe_degraded_small_skips_the_large_fetch():
+def test_d2h_probe_degraded_small_skips_the_large_fetch(monkeypatch):
     # 16 KB in 2 s = 0.008 MB/s: collapsed-but-alive; the 1 MB fetch
     # would take ~2 minutes and must not be launched
+    monkeypatch.delenv("ECG_D2H_HANDSHAKE_TIMEOUT_S", raising=False)
     fetch = _ScriptedFetch({"warm": 0.5, "small": 2.0, "big": 60.0})
     out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
     assert out["d2h_mbps"] == pytest.approx(0.008)
     assert "big" not in fetch.fetched
 
 
-def test_d2h_probe_mid_probe_collapse_falls_back_to_small_estimate():
+def test_d2h_probe_mid_probe_collapse_falls_back_to_small_estimate(monkeypatch):
+    monkeypatch.delenv("ECG_D2H_HANDSHAKE_TIMEOUT_S", raising=False)
     fetch = _ScriptedFetch({"warm": 0.5, "small": 0.001, "big": None})
     out = bench._staged_d2h_probe(fetch, "warm", "small", "big")
     assert out["d2h_mbps"] == pytest.approx(16.0)  # 16 KB / 1 ms

@@ -11,6 +11,18 @@ export ECG_D2H_HANDSHAKE_TIMEOUT_S=${ECG_D2H_HANDSHAKE_TIMEOUT_S:-240}
 TS=$(date -u +%Y%m%dT%H%M%SZ)
 OUT=bench_logs/sweep_$TS
 mkdir -p "$OUT"
+# Pause the sparse watcher for the duration: a watcher probe (fresh-process
+# handshake + 1 MB fetch) firing mid-bench perturbs the tunnel during the
+# measurements of record. watch_window.sh skips probes while this flag
+# exists; removed on any exit.
+PAUSE_FLAG=bench_logs/sweep_running
+touch "$PAUSE_FLAG"
+trap 'rm -f "$PAUSE_FLAG"' EXIT
+# doctor must out-wait the probe's worst case: handshake(<=budget) + small
+# + big fetches + H2D/dispatch; its default --deadline 240 would falsely
+# report "wedged" in exactly the slow-handshake windows this sweep targets.
+DOCTOR_DEADLINE=$((ECG_D2H_HANDSHAKE_TIMEOUT_S + 120))
+DOCTOR_TIMEOUT=$((DOCTOR_DEADLINE + 240))
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/sweep.log"
@@ -19,7 +31,7 @@ run() { # run <name> <timeout_s> <cmd...>
   echo "--- $name rc=$rc ($(date -u +%H:%M:%SZ))" | tee -a "$OUT/sweep.log"
   tail -3 "$OUT/$name.out" | tee -a "$OUT/sweep.log"
 }
-run doctor       600 python tools/doctor.py
+run doctor       "$DOCTOR_TIMEOUT" python tools/doctor.py --deadline "$DOCTOR_DEADLINE"
 run bench        1800 python bench.py
 run e2e          3600 python tools/bench_e2e.py
 run infer_float  900 python tools/bench_inference.py
@@ -33,5 +45,5 @@ if [ "${1:-}" != "quick" ]; then
   run gather       900 python tools/bench_gather.py
   run scale        1800 python tools/bench_scale.py
 fi
-run doctor_after 600 python tools/doctor.py
+run doctor_after "$DOCTOR_TIMEOUT" python tools/doctor.py --deadline "$DOCTOR_DEADLINE"
 echo "sweep complete: $OUT" | tee -a "$OUT/sweep.log"
