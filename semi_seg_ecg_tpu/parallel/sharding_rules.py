@@ -131,6 +131,30 @@ def shard_state(mesh: Mesh, state, shard_optimizer: bool = False):
     guard keeps the run correct-but-replicated — warn loudly instead of
     degrading silently."""
     shardings = state_shardings(mesh, state, shard_optimizer)
+    if shard_optimizer and mesh.shape[DATA_AXIS] > 1:
+        # ZeRO-1 can only shard dims the data-axis size divides evenly
+        # (jax rejects uneven NamedShardings); with e.g. data=6 over
+        # power-of-two channel dims NOTHING divides, and the knob silently
+        # buying zero memory is exactly the degradation to warn about
+        opt_sharded = any(
+            DATA_AXIS in {ax for e in s.spec
+                          for ax in (e if isinstance(e, tuple) else (e,))}
+            for branch in _OPT_BRANCHES
+            for s in jax.tree.leaves(
+                getattr(shardings, branch, None),
+                is_leaf=lambda x: isinstance(x, NamedSharding))
+            if isinstance(s, NamedSharding))
+        if not opt_sharded:
+            from ..utils.logging import log
+
+            log(
+                f"WARNING: shard_optimizer (ZeRO-1) requested but no "
+                f"optimizer-state dimension is divisible by the data-axis "
+                f"size {mesh.shape[DATA_AXIS]} — optimizer state stays "
+                "replicated (correct, but no memory saving); use a device "
+                "count that divides the model's channel dims (powers of "
+                "two)", force=True,
+            )
     if mesh.shape[MODEL_AXIS] > 1:
         matched = any(
             s.spec != P() for s in jax.tree.leaves(

@@ -174,6 +174,34 @@ def test_output_state_keeps_moment_sharding():
     assert sharded, "output opt_state lost its data-axis sharding"
 
 
+def test_nondivisible_device_count_falls_back_replicated(capsys):
+    """data=6 over power-of-two channel dims: jax rejects uneven
+    shardings, so NO moment dim is divisible — ZeRO-1 must degrade to a
+    correct replicated run with a loud warning, not crash or shard
+    silently-zero leaves (found by the n=6 multichip gate, round 5)."""
+    mesh = make_mesh(devices=jax.devices()[:6])
+    model, tx, state = _built(mesh, shard_optimizer=True)
+    assert "no optimizer-state dimension is divisible" in capsys.readouterr().out
+    for l in jax.tree.leaves(state.opt_state):
+        if hasattr(l, "sharding"):
+            assert DATA_AXIS not in _spec_names(l)
+    # the step still runs and produces finite numbers on the 6-way mesh
+    shardings = state_shardings(mesh, state, shard_optimizer=True)
+    inner = base_algo.make_train_step(model, tx, SMALL_CFG, 10)
+
+    def step(s, b):
+        ns, m = inner(s, b)
+        return jax.lax.with_sharding_constraint(ns, shardings), m
+
+    rng = np.random.default_rng(2)
+    batch = jax.device_put(
+        {"ecg": rng.standard_normal((12, 1, 256)).astype(np.float32),
+         "target": rng.integers(0, 4, (12, 256))}, batch_sharding(mesh))
+    _, metrics = jax.jit(step, donate_argnums=0)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    make_mesh()  # restore the full-device current mesh for later tests
+
+
 def test_e2e_driver_with_shard_optimizer(e2e_data, tmp_path):
     """Full train → eval → checkpoint pass through the driver with the
     knob on (mean_teacher: EMA branch exercises the replicated side)."""
