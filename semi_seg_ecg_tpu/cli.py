@@ -164,6 +164,16 @@ def infer_longrec_main(argv=None):
                         "rate for WFDB input, else 250)")
     p.add_argument("--min-duration-ms", type=float, default=20.0,
                    help="drop wave runs shorter than this (blip filter)")
+    p.add_argument("--model-fs", type=float, default=None,
+                   help="the model's sampling rate (e.g. 250 for the "
+                        "shipped signal_length-2500 LUDB recipes). When "
+                        "it differs from the record's rate the signal is "
+                        "Fourier-resampled to the model rate for "
+                        "inference — the training pipeline's exact "
+                        "resample semantics — and predictions are mapped "
+                        "back (zero-order-hold labels, linear probs) so "
+                        "outputs and --eval-labels metrics stay on the "
+                        "record's native timebase")
     p.add_argument("--eval-labels", default=None, metavar="NPY",
                    help="ground-truth label field (T,) to score against: "
                         "prints LUDB-convention delineation metrics "
@@ -227,9 +237,31 @@ def infer_longrec_main(argv=None):
         if is_dir:
             stem = os.path.splitext(os.path.basename(path))[0]
             out_dir = os.path.join(args.out_dir, stem)
+        t_record = ecg.shape[1]
+        if (args.model_fs and args.fs
+                and abs(args.fs - args.model_fs) > 1e-9):
+            from .data.transforms import _fourier_resample
+
+            m = max(1, int(round(t_record * args.model_fs / args.fs)))
+            print(f"resampling {args.fs:g} Hz -> model rate "
+                  f"{args.model_fs:g} Hz ({t_record} -> {m} samples); "
+                  "predictions mapped back to the record's timebase")
+            ecg = np.ascontiguousarray(
+                _fourier_resample(ecg, m, axis=1).astype(np.float32))
         out = long_record_inference(config, ecg, batch=args.batch,
                                     hop=args.hop, taper=args.taper,
                                     infer=infer)
+        if out["labels"].shape[0] != t_record:
+            from .data.transforms import _label_resample
+
+            out["labels"] = _label_resample(
+                out["labels"][None, :].astype(np.int64), t_record,
+                "nearest")[0].astype(np.int32)
+            src = np.linspace(0.0, 1.0, out["probs"].shape[1])
+            dst = np.linspace(0.0, 1.0, t_record)
+            out["probs"] = np.stack(
+                [np.interp(dst, src, p) for p in out["probs"]]
+            ).astype(np.float32)
         _write_longrec_outputs(out, out_dir, args)
     if args.eval_labels:  # single record (guarded above): `out` is its result
         from .ops.delineation import delineation_metrics

@@ -41,7 +41,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["rdrecord", "rdann", "Record", "Annotation", "ANN_SYMBOLS"]
+__all__ = ["rdrecord", "rdann", "wrsamp", "wrann", "Record", "Annotation",
+           "ANN_SYMBOLS"]
 
 # WFDB annotation code → display symbol (ecgcodes.h / wfdb-python
 # ann_label_table). Delineation datasets use 39 '(' onset, 40 ')' offset,
@@ -307,3 +308,114 @@ def rdann(record_path: str, extension: str) -> Annotation:
         chan=np.asarray(chans, dtype=np.int64),
         aux_note=auxes,
     )
+
+
+# --------------------------------------------------------------- writers
+# Exact inverses of the readers above, for the two container formats the
+# delineation datasets ship in (LUDB fmt 16, QTDB fmt 212). Used to
+# synthesize genuine on-disk fixtures so the raw-data on-ramp
+# (tools/prepare_data.py → train → infer) can be rehearsed end to end in
+# the real format before real data ever arrives; round-tripped against
+# the readers in tests/test_wfdb_io.py.
+
+_SYMBOL_CODES: Dict[str, int] = {v: k for k, v in ANN_SYMBOLS.items()}
+
+
+def _encode_dat(d: np.ndarray, fmt: int) -> bytes:
+    """Flat digital sample stream (frame-interleaved) → .dat bytes."""
+    if fmt == 16:
+        return d.astype("<i2").tobytes()
+    if fmt == 212:
+        if len(d) % 2:  # pairs pack 3 bytes; pad the stream
+            d = np.concatenate([d, np.zeros(1, d.dtype)])
+        s = d.reshape(-1, 2).astype(np.int64) & 0xFFF  # 12-bit two's compl.
+        b = np.empty((len(s), 3), np.uint8)
+        b[:, 0] = s[:, 0] & 0xFF
+        b[:, 1] = ((s[:, 0] >> 8) & 0x0F) | (((s[:, 1] >> 8) & 0x0F) << 4)
+        b[:, 2] = s[:, 1] & 0xFF
+        return b.tobytes()
+    raise NotImplementedError(
+        f"WFDB signal format {fmt} is not supported by the vendored "
+        "writer (supported: 16, 212)")
+
+
+def wrsamp(
+    record_path: str,
+    fs: float,
+    p_signal: np.ndarray,
+    fmt: int = 16,
+    gain: float = 200.0,
+    adc_zero: int = 0,
+    units: str = "mV",
+    sig_names: Optional[List[str]] = None,
+) -> None:
+    """Write ``record_path.hea`` + ``record_path.dat``.
+
+    ``p_signal`` is (sig_len, n_sig) physical values; digitization is
+    ``round(p * gain) + baseline`` clipped inside the format's range with
+    the invalid-sample sentinel excluded (NaN maps to the sentinel).
+    """
+    p_signal = np.atleast_2d(np.asarray(p_signal, np.float64))
+    if p_signal.shape[0] < p_signal.shape[1]:
+        raise ValueError("p_signal must be (sig_len, n_sig)")
+    sig_len, n_sig = p_signal.shape
+    name = os.path.basename(record_path)
+    baseline = adc_zero
+    lo, hi = _INVALID[fmt] + 1, -_INVALID[fmt] - 1
+    d = np.round(p_signal * gain) + baseline
+    invalid = ~np.isfinite(d)
+    d = np.clip(np.where(invalid, 0, d), lo, hi).astype(np.int64)
+    d = np.where(invalid, _INVALID[fmt], d)
+
+    adcres = {16: 16, 212: 12}[fmt]
+    lines = [f"{name} {n_sig} {fs:g} {sig_len}"]
+    for i in range(n_sig):
+        col = d[:, i]
+        cksum = int(np.int16(col.sum() & 0xFFFF))
+        desc = (sig_names[i] if sig_names else f"sig{i}")
+        lines.append(
+            f"{name}.dat {fmt} {gain:g}({baseline})/{units} {adcres} "
+            f"{adc_zero} {int(col[0]) if sig_len else 0} {cksum} 0 {desc}")
+    with open(record_path + ".hea", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(record_path + ".dat", "wb") as f:
+        f.write(_encode_dat(d.reshape(-1), fmt))  # frame-major interleave
+
+
+def wrann(
+    record_path: str,
+    extension: str,
+    samples: np.ndarray,
+    symbols: List[str],
+) -> None:
+    """Write ``record_path.extension`` in the MIT annotation format.
+
+    Deltas over the 10-bit interval field go through SKIP(59) words
+    (4-byte interval, high 16-bit word first) with the annotation word's
+    own interval zero — the exact stream :func:`rdann` decodes.
+    """
+    samples = np.asarray(samples, dtype=np.int64)
+    if not np.all(np.diff(samples) >= 0):
+        raise ValueError("annotation samples must be non-decreasing")
+    if len(samples) != len(symbols):
+        raise ValueError("samples and symbols length mismatch")
+    out = bytearray()
+    t = 0
+    for s, sym in zip(samples, symbols):
+        code = _SYMBOL_CODES.get(sym)
+        if code is None:
+            raise ValueError(f"no WFDB code for symbol {sym!r}")
+        delta = int(s) - t
+        t = int(s)
+        if delta > 0x3FF:
+            out += struct.pack("<H", 59 << 10)
+            out += struct.pack("<H", (delta >> 16) & 0xFFFF)
+            out += struct.pack("<H", delta & 0xFFFF)
+            delta = 0
+        word = (code << 10) | delta
+        if word == 0:  # code 0 + interval 0 would read as EOF
+            raise ValueError(f"unencodable annotation {sym!r} at delta 0")
+        out += struct.pack("<H", word)
+    out += struct.pack("<H", 0)  # EOF marker
+    with open(record_path + "." + extension, "wb") as f:
+        f.write(bytes(out))

@@ -115,12 +115,23 @@ def run_reference(algo, exp, root, data, epochs, seed, log_dir):
 _BUILTIN_PRINT = print
 
 
-def run_ours(algo, exp, root, data, epochs, seed):
-    """Train + test this framework with the identical recipe."""
+def run_ours(algo, exp, root, data, epochs, seed, batch_per_replica=None):
+    """Train + test this framework with the identical recipe.
+
+    ``batch_per_replica`` matches the GLOBAL batch to the reference's
+    single-process run: our ``batch_size`` is per-replica (loader
+    docstring), so on an N-device mesh the default recipe batch 4 means
+    global 4N — N× more samples per step and N× fewer optimizer steps
+    per epoch than the torch run. For an apples-to-apples convergence
+    race pass ``4 // n_devices`` (SyncBN makes the BN statistics global,
+    so global-batch-4 over 2 devices is statistically the reference's
+    batch-4)."""
     from semi_seg_ecg_tpu.algorithms import get_algorithm
     from tools.validate_ssl import cfg
 
     c = cfg(algo, exp, root, data, epochs, seed=seed)
+    if batch_per_replica:
+        c["dataloader"]["batch_size"] = batch_per_replica
     t0 = time.time()
     get_algorithm(algo).train(c)
     m = get_algorithm(algo).test(c)
@@ -137,6 +148,10 @@ def main():
                     help="N-device CPU mesh for our side (0 = default jax)")
     ap.add_argument("--sides", choices=["both", "reference", "ours"],
                     default="both")
+    ap.add_argument("--match-global-batch", action="store_true",
+                    help="divide our per-replica batch by the mesh size "
+                         "so both sides run the same global batch and "
+                         "step count (see run_ours docstring)")
     ap.add_argument("--log", default="bench_logs/head2head_runs.jsonl")
     ap.add_argument("--out", default="bench_logs/head2head_summary.json")
     args = ap.parse_args()
@@ -174,9 +189,14 @@ def main():
                             algo, f"ref_{algo}_s{seed}", root, data,
                             args.epochs, seed, log_dir)
                     else:
+                        bpr = None
+                        if args.match_global_batch:
+                            import jax
+
+                            bpr = max(1, 4 // jax.device_count())
                         miou, dt = run_ours(
                             algo, f"ours_{algo}_s{seed}", root, data,
-                            args.epochs, seed)
+                            args.epochs, seed, batch_per_replica=bpr)
                     rec = {"side": side, "algorithm": algo, "seed": seed,
                            "epochs": args.epochs, "MeanIoU": miou,
                            "wall_s": round(dt, 1)}
