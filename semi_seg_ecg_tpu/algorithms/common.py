@@ -749,6 +749,10 @@ def run_training(config: Dict[str, Any], spec: AlgorithmSpec,
             **{f"valid_{k}": v for k, v in valid_stats.items()},
             **metrics,
             "epoch": epoch,
+            # cumulative wall clock: diffing consecutive rows gives honest
+            # per-epoch times from ONE process/compile (the reference logs
+            # only a final total, base.py:434-436)
+            "wall_s": round(time.time() - start_time, 3),
         })
 
     ckpt.wait_for_pending()

@@ -12,8 +12,14 @@ input-path modes:
                     steps ship int32 indices only)
 - ``cache+scan``    both
 
-Timing is slope-based (run 2 epochs, then 6; the difference is 4 steady
-epochs) so compile time and the first-epoch prefix-cache fill cancel out.
+Timing is in-run: ONE training of N epochs per mode, each epoch's train
+loop individually timed (eval excluded), steady state = median of the
+epochs after the warmup tail. Everything that wrecked the earlier two-run
+slope design cancels by construction: compile happens once (the remote
+tunnel's compile latency drifts 15 s -> 190 s between runs, NOTES.md —
+a two-point fit across separate compiles measured THAT, producing
+negative slopes), the D2H first-fetch handshake is paid once, and the
+prefix/file caches fill in epoch 0.
 
 Run: ``python tools/bench_e2e.py [--modes host,cache+scan] [--length 2500]``
 """
@@ -71,16 +77,33 @@ def make_config(data_cfg, out_dir, mode, epochs, length, scan_steps):
     return config
 
 
-def run_once(data_cfg, out_dir, mode, epochs, length, scan_steps) -> float:
+def run_timed(data_cfg, out_dir, mode, epochs, length, scan_steps):
+    """One training run; returns the per-epoch train-loop durations.
+
+    The epoch timer wraps ``common._train_one_epoch`` in-process, so the
+    numbers cover exactly the input path under test (loader + H2D +
+    steps), not the per-epoch eval or checkpoint machinery."""
+    import semi_seg_ecg_tpu.algorithms.common as common
     from semi_seg_ecg_tpu.algorithms import get_algorithm
 
     config = make_config(data_cfg, out_dir, mode, epochs, length, scan_steps)
-    t0 = time.perf_counter()
-    get_algorithm("fixmatch").train(config)
-    dt = time.perf_counter() - t0
-    print(f"# {mode}: {epochs} epochs in {dt:.1f}s", file=sys.stderr,
-          flush=True)
-    return dt
+    times = []
+    orig = common._train_one_epoch
+
+    def timed(*a, **k):
+        t0 = time.perf_counter()
+        out = orig(*a, **k)
+        times.append(time.perf_counter() - t0)
+        return out
+
+    common._train_one_epoch = timed
+    try:
+        get_algorithm("fixmatch").train(config)
+    finally:
+        common._train_one_epoch = orig
+    print(f"# {mode}: epochs {[round(t, 2) for t in times]} s",
+          file=sys.stderr, flush=True)
+    return times
 
 
 def main():
@@ -89,8 +112,11 @@ def main():
     ap.add_argument("--length", type=int, default=2500)
     ap.add_argument("--records", type=int, default=512)
     ap.add_argument("--scan-steps", type=int, default=8)
-    ap.add_argument("--epochs", type=int, default=2,
-                    help="short run length; long run adds 4 epochs")
+    ap.add_argument("--epochs", type=int, default=8,
+                    help="epochs per mode; the first --warm are discarded")
+    ap.add_argument("--warm", type=int, default=2,
+                    help="warmup epochs excluded from the median (compile, "
+                         "handshake, cache fill land in epoch 0)")
     ap.add_argument("--artifacts", action="store_true",
                     help="write checkpoints/TB during timed runs (off by "
                          "default: they measure the host link, not the "
@@ -117,40 +143,23 @@ def main():
     steps_per_epoch = args.records // 16
     set_logging_enabled(False)  # keep the per-epoch meter quiet
 
+    import statistics
+
     results = {}
     for mode in args.modes.split(","):
-        # warm run: fills the dataset prefix/file caches and absorbs
-        # first-use costs. NOTE the jitted step bakes train.epochs into
-        # its LR-schedule constants, so the 2- and 6-epoch runs still
-        # compile separate (structurally identical) programs — the slope
-        # cancels their roughly-equal compile times, not the compiles
-        # themselves.
         out = root if args.artifacts else None
-        run_once(data_cfg, out, mode, 1, args.length, args.scan_steps)
-        # slope over a 2-point fit: a degrading link can make the long run
-        # beat the short one (observed: negative throughput during a D2H
-        # wedge). Retry once on a non-positive or wildly unstable slope;
-        # report null rather than a nonsense number if it persists.
-        row = None
-        for attempt in range(2):
-            short = run_once(data_cfg, out, mode, args.epochs, args.length,
-                             args.scan_steps)
-            long = run_once(data_cfg, out, mode, args.epochs + 4,
-                            args.length, args.scan_steps)
-            steady = (long - short) / 4
-            if steady > 0:
-                row = {"samples_per_sec":
-                       round(steps_per_epoch * 16 / steady, 1),
-                       "sec_per_epoch": round(steady, 2)}
-                break
-            print(f"# {mode}: non-positive slope (short={short:.1f}s, "
-                  f"long={long:.1f}s) — link noise swamped the fit"
-                  + ("; retrying" if attempt == 0 else "; giving up"),
-                  file=sys.stderr, flush=True)
-        if row is None:
+        times = run_timed(data_cfg, out, mode, args.epochs, args.length,
+                          args.scan_steps)
+        steady_epochs = times[args.warm:]
+        if steady_epochs:
+            steady = statistics.median(steady_epochs)
+            row = {"samples_per_sec":
+                   round(steps_per_epoch * 16 / steady, 1),
+                   "sec_per_epoch": round(steady, 2),
+                   "epoch_times_s": [round(t, 2) for t in times]}
+        else:
             row = {"samples_per_sec": None, "sec_per_epoch": None,
-                   "error": "non-positive slope (link noise)"}
-        row["short_s"], row["long_s"] = round(short, 1), round(long, 1)
+                   "error": "no steady epochs (epochs <= warm)"}
         results[mode] = row["samples_per_sec"]
         print(json.dumps({"mode": mode, **row}), flush=True)
     # re-probe: the link state can change over a multi-minute sweep, and a
