@@ -118,7 +118,13 @@ def main():
         for _ in range(n):
             _, labels = overlap_add_infer(infer, record, window=WINDOW,
                                           hop=args.hop, batch=args.batch)
-        float(labels[0])
+            # value-fetch EVERY call: dispatch is async, so syncing only
+            # the last program lets the others pipeline and the (2-1)
+            # diff collapses toward zero (observed: a "2.9 G samples/s"
+            # 1-hour record in the round-5 sweep). A one-scalar fetch per
+            # call forces each program to completion; the per-call RTT it
+            # adds cancels in the diff.
+            float(labels[0])
         return time.perf_counter() - t0
 
     diffs = sorted(d for d in (run(2) - run(1) for _ in range(args.reps))

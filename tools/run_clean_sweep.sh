@@ -39,9 +39,11 @@ run infer_int8s  1200 python tools/bench_inference.py --int8 --static
 if [ "${1:-}" != "quick" ]; then
   # the int8 + 50%-overlap stitch numbers are the session-6 pending
   # re-measures (their recorded values are lower bounds, NOTES.md)
-  run holter       1800 python tools/bench_holter.py
-  run holter_int8  1800 python tools/bench_holter.py --int8
-  run holter_ovlp  1800 python tools/bench_holter.py --hop 1250
+  # the geometry of the published rows (docs/PERFORMANCE.md): 24 h
+  # records at batch 256
+  run holter       1800 python tools/bench_holter.py --hours 24 --batch 256
+  run holter_int8  1800 python tools/bench_holter.py --hours 24 --batch 256 --int8
+  run holter_ovlp  1800 python tools/bench_holter.py --hours 24 --batch 256 --hop 1250
   run gather       900 python tools/bench_gather.py
   run scale        1800 python tools/bench_scale.py
 fi
