@@ -86,6 +86,15 @@ def capture(steps: int, scan_k: int, logdir: str, augment: bool = False,
             key = jax.random.fold_in(jax.random.key(0x5EED), s.step)
             return step(s, aug(key, b))
 
+        # bench._build ships a FusedTrainState (small-leaf packing); the
+        # raw train step reads plain TrainState fields, so the same
+        # adapter the bench uses must wrap the aug+step composition
+        from semi_seg_ecg_tpu.utils.fused_state import (
+            FusedTrainState, wrap_step,
+        )
+
+        if isinstance(state, FusedTrainState):
+            fused = wrap_step(fused, state.meta)
         compiled = jax.jit(fused, donate_argnums=0).lower(
             state, run_batch).compile()
     calls = max(steps // max(scan_k, 1), 1)
