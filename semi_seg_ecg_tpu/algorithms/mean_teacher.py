@@ -7,6 +7,21 @@ pseudo-labels on the weak view (:90-92); student sees
 prob_u_w)) / 2 (:106-117); after each optimizer update the teacher is EMA'd
 over params *and* BN buffers (:138-149). The EMA fold is a ``tree_map``
 inside the same jitted step — zero extra launches.
+
+**Teacher forward mode.** The reference never calls
+``model_teacher.eval()`` in mean_teacher.py — unlike ReCo (reco.py:187)
+and ST++ (stpp.py:120), which do — so its teacher predicts in TRAIN
+mode: BatchNorm uses the current unlabeled batch's statistics and the
+decode head's dropout stays active. That is the original Mean Teacher's
+"noisy teacher", and it measurably helps (round-5 head-to-head on the
+shared synthetic set: train-mode teacher ≈ +1 pt converged mIoU, 3× the
+seed std). The default here replicates it (batch-stat + dropout forward,
+its BN-stat mutations discarded — the reference's teacher-buffer
+contamination feeds nothing: predictions use batch stats and eval/test
+use the student). ``train.mt_teacher_eval: true`` selects the clean
+eval-mode teacher (running stats, no dropout) — also what the lockstep
+equivalence tests pin, since a dropout-noised teacher cannot be
+step-pinned across frameworks.
 """
 
 from __future__ import annotations
@@ -35,17 +50,32 @@ def make_train_step(model, tx, config, updates_per_epoch):
     ema_decay = train_cfg.get("ema_decay", 0.999)
     accum = train_cfg.get("accum_iter", 1) or 1
 
+    teacher_eval = bool(train_cfg.get("mt_teacher_eval", False))
+
     def train_step(state, batch):
         rngs = step_rngs(seed, state.step)
         ecg_x, mask_x = batch["ecg"], batch["target"]
         ecg_u_w, ecg_u_s = batch["ecg_u_w"], batch["ecg_u_s"]
         num_lb = ecg_x.shape[0]
 
-        prob_u_w = jax.nn.softmax(
-            apply_eval(model, state.ema, ecg_u_w)["seg_logits"]
-            .astype(jnp.float32),
-            axis=1,
-        )
+        if teacher_eval:
+            teacher_logits = apply_eval(model, state.ema,
+                                        ecg_u_w)["seg_logits"]
+        else:
+            # reference parity: train-mode teacher (module docstring) —
+            # batch-stat BN + live dropout, stat mutations discarded.
+            # Distinct rng fold keeps teacher noise independent of the
+            # student's dropout draws within the step.
+            t_key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(seed), state.step), 3)
+            t_rngs = {"dropout": jax.random.fold_in(t_key, 1),
+                      "droppath": jax.random.fold_in(t_key, 2)}
+            teacher_logits, _ = apply_train(
+                model, state.ema.params, state.ema.batch_stats,
+                ecg_u_w, t_rngs)
+            teacher_logits = teacher_logits["seg_logits"]
+        prob_u_w = jax.nn.softmax(teacher_logits.astype(jnp.float32),
+                                  axis=1)
         prob_u_w = jax.lax.stop_gradient(prob_u_w)
 
         def loss_fn(params):

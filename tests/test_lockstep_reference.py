@@ -392,10 +392,16 @@ def test_lockstep_mean_teacher(rng):
     """Mean Teacher loop lockstep vs reference mean_teacher.train_one_epoch
     (mean_teacher.py:28-190): teacher soft pseudo-labels, soft-CE, post-step
     EMA of params AND buffers. Teacher init is a *cloned* copy (see module
-    docstring for the reference's aliasing quirk)."""
+    docstring for the reference's aliasing quirk), and BOTH teachers run
+    eval-mode (``mt_teacher_eval: true``): the reference's real train()
+    leaves its teacher in train mode (noisy teacher — our mean_teacher
+    module docstring), but a dropout-noised teacher cannot be step-pinned
+    across frameworks, so the lockstep controls that variable out; the
+    train-mode default is validated at convergence by
+    tools/validate_vs_reference.py instead."""
     import copy
 
-    config = _config("resnet18", ema_decay=0.9)
+    config = _config("resnet18", ema_decay=0.9, mt_teacher_eval=True)
     batches = _make_batches(rng, unlabeled=True)
     mt_ref = import_reference_module("algorithms.mean_teacher")
     base = import_reference_module("algorithms.base")
